@@ -1,0 +1,225 @@
+"""Unidirectional path tracer with next-event estimation and MIS.
+
+TPU-native counterpart of the reference megakernel PathTracer
+(Integrators/PathTracer.cu:10-113: NEE + power-heuristic MIS at :62-86,
+env MIS :98-111, RR from depth 5 :91-96). Design translation (SURVEY.md §7):
+the per-pixel CUDA megakernel becomes a `lax.scan` over bounce index applied
+to a SoA ray batch with alive masks; `Image::AddSample` atomics become
+deterministic scatter-adds; the whole step is differentiable w.r.t. scene
+parameters (materials / lights / camera) with detached sampling decisions.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..accel import traversal
+from ..image import film as film_mod
+from ..math import montecarlo as mc
+from ..math.vecmath import dot, normalize
+from ..sampling.rng import Sampler
+from ..scene import bsdf as bsdf_mod
+from ..scene import lights as lights_mod
+from ..scene import sensors
+from ..scene.scene import Scene, gather_mat_params, make_interaction
+
+RAY_EPS = 1e-3
+
+
+class PTConfig(NamedTuple):
+    max_depth: int = 6
+    rr_start: int = 5
+    direct: bool = True          # NEE on/off (reference PathTracer "Direct" param)
+    ray_eps: float = RAY_EPS
+
+
+def _select_light(scene: Scene, u):
+    """Power-CDF light selection with sample reuse
+    (Engine/KernelDynamicScene.cu:25-46)."""
+    idx, pmf, u_re = mc.sample_discrete(scene.light_cdf, u)
+    return idx, pmf, u_re
+
+
+def _light_select_pmf(scene: Scene, lid):
+    cdf = scene.light_cdf
+    hi = cdf[lid]
+    lo = jnp.where(lid > 0, cdf[jnp.maximum(lid - 1, 0)], 0.0)
+    return jnp.maximum(hi - lo, 0.0)
+
+
+def _offset_ray(p, n_geo, w, eps):
+    """Offset origin along the geometric normal on w's side."""
+    s = jnp.sign(dot(n_geo, w, keepdims=True))
+    return p + n_geo * s * eps
+
+
+class _Carry(NamedTuple):
+    o: jnp.ndarray
+    d: jnp.ndarray
+    throughput: jnp.ndarray
+    L: jnp.ndarray
+    active: jnp.ndarray
+    sampler: Sampler
+    prev_pdf: jnp.ndarray      # solid-angle pdf of the last BSDF sample
+    prev_delta: jnp.ndarray    # last bounce was a delta lobe (no MIS)
+    eta_scale: jnp.ndarray     # accumulated eta^2 for RR throughput
+
+
+def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
+    """Estimate radiance along a batch of rays. Returns (L (B,3), sampler)."""
+    B = o.shape[0]
+    init = _Carry(
+        o=o,
+        d=d,
+        throughput=jnp.ones((B, 3), jnp.float32),
+        L=jnp.zeros((B, 3), jnp.float32),
+        active=jnp.ones((B,), bool),
+        sampler=sampler,
+        prev_pdf=jnp.zeros((B,), jnp.float32),
+        prev_delta=jnp.ones((B,), bool),   # depth 0: emission counts fully
+        eta_scale=jnp.ones((B,), jnp.float32),
+    )
+
+    def bounce(carry: _Carry, depth):
+        s = carry.sampler
+        hit = traversal.intersect(scene.bvh, carry.o, carry.d)
+        it = make_interaction(scene, carry.o, carry.d, hit)
+        found = hit.valid & carry.active
+
+        # ---- environment on escape (PathTracer.cu:98-111) ----
+        has_env = scene.env_light_id >= 0
+        env_id = jnp.maximum(scene.env_light_id, 0)
+        env_ids = jnp.broadcast_to(env_id, (B,))
+        env_L = lights_mod.eval_env(scene.lights, env_ids, carry.d)
+        env_pdf_l = lights_mod.pdf_env_dir(scene.lights, env_ids, carry.d)
+        env_sel = _light_select_pmf(scene, env_ids)
+        w_env = jnp.where(
+            carry.prev_delta | ~jnp.asarray(config.direct),
+            1.0,
+            mc.mis_weight(carry.prev_pdf, env_pdf_l * env_sel),
+        )
+        escaped = carry.active & ~hit.valid & has_env
+        L = carry.L + jnp.where(escaped[..., None], carry.throughput * env_L * w_env[..., None], 0.0)
+
+        # ---- emission at hit (MIS against NEE, PathTracer.cu:62-86) ----
+        mat_light = scene.materials.light_id[it.mat_id]
+        emissive = found & (mat_light >= 0)
+        lid = jnp.maximum(mat_light, 0)
+        wo_world = -carry.d
+        Le = lights_mod.eval_area_emission(scene.lights, lid, it.n_geo, wo_world)
+        pdf_light_hit = lights_mod.pdf_direct_area(
+            scene.lights, lid, carry.o, it.p, it.n_geo
+        ) * _light_select_pmf(scene, lid)
+        w_hit = jnp.where(
+            carry.prev_delta | ~jnp.asarray(config.direct),
+            1.0,
+            mc.mis_weight(carry.prev_pdf, pdf_light_hit),
+        )
+        L = L + jnp.where(emissive[..., None], carry.throughput * Le * w_hit[..., None], 0.0)
+
+        # ---- surface shading setup ----
+        mp = gather_mat_params(scene, it)
+        wo_local = it.frame.to_local(wo_world)
+
+        # ---- next-event estimation (TraceAlgorithms.cu:44-101) ----
+        s, u_sel = s.next_1d()
+        s, u_l2 = s.next_2d()
+        if config.direct and scene.n_lights > 0:
+            lsel, lpmf, _ = _select_light(scene, u_sel)
+            ds, Lrad = lights_mod.sample_direct(scene.lights, lsel, it.p, u_l2)
+            wi_l_local = it.frame.to_local(ds.d)
+            f_l, pdf_b_l = bsdf_mod.eval_bsdf(mp, wo_local, wi_l_local)
+            # occlusion
+            sh_o = _offset_ray(it.p, it.n_geo, ds.d, config.ray_eps)
+            blocked = traversal.occluded(
+                scene.bvh, sh_o, ds.d, t_min=config.ray_eps,
+                t_max=ds.dist - 2.0 * config.ray_eps,
+            )
+            is_delta_l = ds.measure == 2  # DISCRETE
+            pdf_l_sa = jnp.where(is_delta_l, 1.0, ds.pdf) * lpmf
+            w_nee = jnp.where(
+                is_delta_l, 1.0, mc.mis_weight(pdf_l_sa, pdf_b_l)
+            )
+            contrib = (
+                carry.throughput
+                * f_l
+                * Lrad
+                * (w_nee / jnp.maximum(pdf_l_sa, 1e-12))[..., None]
+            )
+            nee_ok = found & ~blocked & (ds.pdf > 0) & (lpmf > 0)
+            L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
+
+        # ---- BSDF sampling ----
+        s, u_b2 = s.next_2d()
+        s, u_b1 = s.next_1d()
+        bs = bsdf_mod.sample_bsdf(mp, wo_local, u_b2, u_b1)
+        wi_world = it.frame.to_world(bs.wi)
+        new_o = _offset_ray(it.p, it.n_geo, wi_world, config.ray_eps)
+        throughput = carry.throughput * bs.weight
+        cont = found & (bs.pdf > 0) & (jnp.max(jnp.abs(throughput), axis=-1) > 0)
+
+        # ---- russian roulette (PathTracer.cu:91-96) ----
+        s, u_rr = s.next_1d()
+        tmax_c = jnp.max(throughput, axis=-1) * carry.eta_scale
+        p_cont = mc.russian_roulette_prob(tmax_c, depth, config.rr_start)
+        survive = u_rr < p_cont
+        throughput = throughput / jnp.maximum(p_cont, 1e-6)[..., None]
+        cont = cont & survive
+
+        delta_now = bsdf_mod.is_delta(mp) | (
+            (bs.sampled_type & (16 | 32 | 64)) > 0  # delta/null lobes
+        )
+        new_carry = _Carry(
+            o=jnp.where(cont[..., None], new_o, carry.o),
+            d=jnp.where(cont[..., None], wi_world, carry.d),
+            throughput=jnp.where(cont[..., None], throughput, carry.throughput),
+            L=L,
+            active=cont,
+            sampler=s,
+            prev_pdf=jnp.where(cont, bs.pdf, carry.prev_pdf),
+            prev_delta=jnp.where(cont, delta_now, carry.prev_delta),
+            eta_scale=jnp.where(cont, carry.eta_scale * bs.eta * bs.eta, carry.eta_scale),
+        )
+        return new_carry, None
+
+    final, _ = jax.lax.scan(bounce, init, jnp.arange(config.max_depth))
+    return final.L, final.sampler
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
+def render(scene: Scene, width: int, height: int, spp: int, seed,
+           config: PTConfig = PTConfig()):
+    """Render a full frame: returns (H, W, 3) radiance image.
+
+    One pass = spp camera samples per pixel, stratified jitter, box filter —
+    matching the reference Tracer<>::DoPass structure (Kernel/Tracer.h:209-248).
+    """
+    n_px = width * height
+    pixel_id = jnp.tile(jnp.arange(n_px, dtype=jnp.uint32), spp)
+    sample_idx = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n_px)
+    sampler = Sampler.create(seed, pixel_id, sample_idx)
+
+    px = (pixel_id % width).astype(jnp.float32)
+    py = (pixel_id // width).astype(jnp.float32)
+    sampler, jitter = sampler.next_2d()
+    film_uv = jnp.stack(
+        [(px + jitter[:, 0]) / width, (py + jitter[:, 1]) / height], axis=-1
+    )
+    sampler, u_ap = sampler.next_2d()
+    o, d, w_cam = sensors.sample_ray(scene.camera, film_uv, u_ap)
+
+    L, _ = trace_radiance(scene, o, d, sampler, config)
+    L = L * w_cam
+
+    film = film_mod.Film.create(height, width)
+    film = film_mod.add_samples(film, pixel_id.astype(jnp.int32), L)
+    return film_mod.develop(film)
+
+
+def render_pass_fn(scene: Scene, width: int, height: int, spp: int,
+                   config: PTConfig = PTConfig()):
+    """Returns a jitted fn(seed) -> image, for progressive accumulation."""
+    return partial(render, scene, width, height, spp, config=config)

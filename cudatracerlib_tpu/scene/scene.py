@@ -1,0 +1,248 @@
+"""The Scene pytree — flat struct-of-arrays scene description.
+
+TPU-native counterpart of the reference's `KernelDynamicScene`
+(Engine/KernelDynamicScene.h:28): where the CUDA build packs buffer views into
+__constant__ memory each pass (Kernel/TraceHelper.cu:211-215), here the whole
+scene is an immutable pytree of device arrays closed over by (or passed into)
+jitted render functions — XLA keeps it resident in HBM, and under multi-chip
+sharding it is replicated while rays/tiles shard (SURVEY.md §2.8).
+
+Per-triangle shading attributes are stored in *BVH leaf order* (permuted by
+`bvh.tri_index` at build time) so a hit's `prim` index addresses them directly
+— the counterpart of the reference's `TriangleData` (Engine/TriangleData.h:10-55)
+without the indirection.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.bvh import BVH, build_bvh
+from ..math import frame as fr
+from ..math.frame import Frame
+from ..math.vecmath import dot, normalize, safe_sqrt
+from . import bsdf as bsdf_mod
+from . import lights as lights_mod
+from . import textures as tex_mod
+from .lights import Lights, build_lights, light_power
+from .sensors import Camera
+from .textures import Textures
+
+
+class Materials(NamedTuple):
+    """SoA material table (counterpart of Engine/Material.h:38 + BSDF params)."""
+
+    bsdf_type: jnp.ndarray   # (M,) int32
+    dist_type: jnp.ndarray   # (M,) int32
+    tex_albedo: jnp.ndarray  # (M,) int32 texture id
+    tex_specular: jnp.ndarray    # (M,) int32
+    tex_transmittance: jnp.ndarray  # (M,) int32
+    eta: jnp.ndarray         # (M,)
+    cond_eta: jnp.ndarray    # (M, 3)
+    cond_k: jnp.ndarray      # (M, 3)
+    alpha_u: jnp.ndarray     # (M,)
+    alpha_v: jnp.ndarray     # (M,)
+    exponent: jnp.ndarray    # (M,)
+    nonlinear: jnp.ndarray   # (M,)
+    emission: jnp.ndarray    # (M, 3) — area-light materials carry Le
+    light_id: jnp.ndarray    # (M,) int32 — light index if emissive else -1
+
+    @staticmethod
+    def build(records: list[dict]) -> "Materials":
+        m = max(len(records), 1)
+        out = dict(
+            bsdf_type=np.zeros(m, np.int32),
+            dist_type=np.full(m, 1, np.int32),  # GGX
+            tex_albedo=np.zeros(m, np.int32),
+            tex_specular=np.zeros(m, np.int32),
+            tex_transmittance=np.zeros(m, np.int32),
+            eta=np.full(m, 1.5, np.float32),
+            cond_eta=np.tile(np.array([0.2, 0.92, 1.1], np.float32), (m, 1)),
+            cond_k=np.tile(np.array([3.9, 2.45, 2.14], np.float32), (m, 1)),
+            alpha_u=np.full(m, 0.1, np.float32),
+            alpha_v=np.full(m, 0.1, np.float32),
+            exponent=np.full(m, 30.0, np.float32),
+            nonlinear=np.zeros(m, np.float32),
+            emission=np.zeros((m, 3), np.float32),
+            light_id=np.full(m, -1, np.int32),
+        )
+        for i, r in enumerate(records):
+            for k, v in r.items():
+                if k in out:
+                    out[k][i] = v
+        return Materials(**{k: jnp.asarray(v) for k, v in out.items()})
+
+
+class ShadingData(NamedTuple):
+    """Per-(padded/leaf-ordered)-triangle shading attributes."""
+
+    verts: jnp.ndarray     # (T, 3, 3)
+    normals: jnp.ndarray   # (T, 3, 3) vertex shading normals
+    uvs: jnp.ndarray       # (T, 3, 2)
+    mat_id: jnp.ndarray    # (T,) int32
+
+
+class Scene(NamedTuple):
+    bvh: BVH
+    shading: ShadingData
+    materials: Materials
+    textures: Textures
+    lights: Lights
+    light_cdf: jnp.ndarray   # (NL,) normalized power CDF for light selection
+    camera: Camera
+    env_light_id: jnp.ndarray  # () int32, -1 if no environment light
+
+    @property
+    def n_lights(self) -> int:
+        return self.lights.count
+
+
+class Interaction(NamedTuple):
+    """Surface interaction — counterpart of DifferentialGeometry + fillDG
+    (Engine/DifferentialGeometry.h:12-47, Kernel/TraceHelper.cu:274-307)."""
+
+    p: jnp.ndarray        # (..., 3) hit point
+    n_geo: jnp.ndarray    # (..., 3) geometric normal
+    frame: Frame          # shading frame
+    uv: jnp.ndarray       # (..., 2)
+    t: jnp.ndarray        # (...,) hit distance
+    prim: jnp.ndarray     # (...,) int32 leaf-order triangle id
+    mat_id: jnp.ndarray   # (...,) int32
+    valid: jnp.ndarray    # (...,) bool
+
+
+def make_interaction(scene: Scene, o, d, hit) -> Interaction:
+    """Reconstruct shading data at hit points (vectorized fillDG)."""
+    prim = jnp.maximum(hit.prim, 0)
+    v = scene.shading.verts[prim]        # (..., 3, 3)
+    vn = scene.shading.normals[prim]     # (..., 3, 3)
+    uvs = scene.shading.uvs[prim]        # (..., 3, 2)
+    b1 = hit.bary[..., 0:1]
+    b2 = hit.bary[..., 1:2]
+    b0 = 1.0 - b1 - b2
+
+    p = o + d * hit.t[..., None]
+    n_geo = normalize(
+        jnp.cross(v[..., 1, :] - v[..., 0, :], v[..., 2, :] - v[..., 0, :])
+    )
+    n_sh = normalize(vn[..., 0, :] * b0 + vn[..., 1, :] * b1 + vn[..., 2, :] * b2)
+    # orient geometric normal to shading normal's side consistency
+    uv = uvs[..., 0, :] * b0 + uvs[..., 1, :] * b1 + uvs[..., 2, :] * b2
+
+    # tangent from dpdu when UVs are usable, else arbitrary ONB
+    duv1 = uvs[..., 1, :] - uvs[..., 0, :]
+    duv2 = uvs[..., 2, :] - uvs[..., 0, :]
+    e1 = v[..., 1, :] - v[..., 0, :]
+    e2 = v[..., 2, :] - v[..., 0, :]
+    det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+    dpdu = (
+        e1 * duv2[..., 1:2] - e2 * duv1[..., 1:2]
+    ) / jnp.where(jnp.abs(det) < 1e-9, 1.0, det)[..., None]
+    use_uv = (jnp.abs(det) > 1e-9) & (jnp.sum(dpdu * dpdu, axis=-1) > 1e-12)
+    s_fallback, _ = (lambda f: (f.s, f.t))(Frame.from_normal(n_sh))
+    s_uv = dpdu - n_sh * dot(n_sh, dpdu, keepdims=True)
+    s_len = jnp.sqrt(jnp.maximum(jnp.sum(s_uv * s_uv, axis=-1), 1e-18))
+    s = jnp.where((use_uv & (s_len > 1e-9))[..., None], s_uv / s_len[..., None], s_fallback)
+    t_vec = jnp.cross(n_sh, s)
+    frame = Frame(s=s, t=t_vec, n=n_sh)
+
+    mat_id = scene.shading.mat_id[prim]
+    return Interaction(
+        p=p,
+        n_geo=n_geo,
+        frame=frame,
+        uv=uv,
+        t=hit.t,
+        prim=prim,
+        mat_id=jnp.where(hit.valid, mat_id, 0),
+        valid=hit.valid,
+    )
+
+
+def gather_mat_params(scene: Scene, it: Interaction) -> bsdf_mod.MatParams:
+    """Gather per-lane material params + evaluate textures (SampleTextures)."""
+    m = scene.materials
+    mid = it.mat_id
+    albedo = tex_mod.eval_texture(scene.textures, m.tex_albedo[mid], it.uv)
+    spec = tex_mod.eval_texture(scene.textures, m.tex_specular[mid], it.uv)
+    trans = tex_mod.eval_texture(scene.textures, m.tex_transmittance[mid], it.uv)
+    return bsdf_mod.MatParams(
+        bsdf_type=m.bsdf_type[mid],
+        dist_type=m.dist_type[mid],
+        albedo=albedo,
+        specular=spec,
+        transmittance=trans,
+        eta=m.eta[mid],
+        cond_eta=m.cond_eta[mid],
+        cond_k=m.cond_k[mid],
+        alpha_u=m.alpha_u[mid],
+        alpha_v=m.alpha_v[mid],
+        exponent=m.exponent[mid],
+        nonlinear=m.nonlinear[mid],
+    )
+
+
+def build_scene(
+    vertices: np.ndarray,
+    normals: np.ndarray | None,
+    uvs: np.ndarray | None,
+    mat_id: np.ndarray,
+    materials: Materials,
+    textures: Textures,
+    light_records: list[dict],
+    camera: Camera,
+    env_map: np.ndarray | None = None,
+) -> Scene:
+    """Host-side scene assembly: builds the BVH, permutes shading data into
+    leaf order, derives the light-selection CDF (DynamicScene::UpdateScene
+    equivalent, Engine/DynamicScene.cpp:480-556)."""
+    vertices = np.asarray(vertices, np.float32)
+    T = vertices.shape[0]
+    if normals is None:
+        e1 = vertices[:, 1] - vertices[:, 0]
+        e2 = vertices[:, 2] - vertices[:, 0]
+        n = np.cross(e1, e2)
+        n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        normals = np.repeat(n[:, None, :], 3, axis=1)
+    if uvs is None:
+        uvs = np.zeros((T, 3, 2), np.float32)
+        uvs[:, 1, 0] = 1.0
+        uvs[:, 2, 1] = 1.0
+    mat_id = np.asarray(mat_id, np.int32)
+
+    bvh = build_bvh(vertices)
+    order = np.asarray(bvh.tri_index)
+    shading = ShadingData(
+        verts=jnp.asarray(vertices[order]),
+        normals=jnp.asarray(np.asarray(normals, np.float32)[order]),
+        uvs=jnp.asarray(np.asarray(uvs, np.float32)[order]),
+        mat_id=jnp.asarray(mat_id[order]),
+    )
+
+    world_min = np.asarray(bvh.world_min)
+    world_max = np.asarray(bvh.world_max)
+    center = 0.5 * (world_min + world_max)
+    radius = 0.5 * float(np.linalg.norm(world_max - world_min)) + 1e-4
+
+    lights = build_lights(light_records, center, radius, env_map)
+    power = light_power(lights)
+    if len(light_records) == 0:
+        power = jnp.zeros_like(power)
+    cdf = jnp.cumsum(power) / jnp.maximum(jnp.sum(power), 1e-20)
+
+    env_id = -1
+    for i, r in enumerate(light_records):
+        if r["type"] in (lights_mod.INFINITE, lights_mod.CONSTANT_ENV):
+            env_id = i
+    return Scene(
+        bvh=bvh,
+        shading=shading,
+        materials=materials,
+        textures=textures,
+        lights=lights,
+        light_cdf=cdf,
+        camera=camera,
+        env_light_id=jnp.asarray(np.int32(env_id)),
+    )

@@ -1,0 +1,158 @@
+"""Procedural geometry + canonical test scenes.
+
+Counterpart of reference ``Engine/SceneLoader/Mitsuba/Primitives.h:431-694``
+(generated cube/sphere/rectangle geometry) plus the Cornell-box construction
+used by BASELINE config 1.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import bsdf as B
+from . import lights as L
+from .scene import Materials, Scene, build_scene
+from .sensors import Camera
+from .textures import Textures
+
+
+def quad(p0, p1, p2, p3):
+    """Two triangles for quad p0-p1-p2-p3 (counter-clockwise winding)."""
+    p0, p1, p2, p3 = [np.asarray(p, np.float32) for p in (p0, p1, p2, p3)]
+    return np.stack([np.stack([p0, p1, p2]), np.stack([p0, p2, p3])])
+
+
+def box(lo, hi, flip=False):
+    """12 triangles of an axis-aligned box; flip=True turns normals inward."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    faces = [
+        quad([x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0])[:, ::-1],  # floor (+z up)
+        quad([x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1]),            # ceiling
+        quad([x0, y0, z0], [x0, y1, z0], [x0, y1, z1], [x0, y0, z1])[:, ::-1],
+        quad([x1, y0, z0], [x1, y1, z0], [x1, y1, z1], [x1, y0, z1]),
+        quad([x0, y0, z0], [x1, y0, z0], [x1, y0, z1], [x0, y0, z1]),
+        quad([x0, y1, z0], [x1, y1, z0], [x1, y1, z1], [x0, y1, z1])[:, ::-1],
+    ]
+    tris = np.concatenate(faces)
+    if flip:
+        tris = tris[:, ::-1]
+    return tris
+
+
+def sphere(center, radius, n_theta=16, n_phi=32):
+    center = np.asarray(center, np.float32)
+    vs = []
+    for i in range(n_theta):
+        t0 = np.pi * i / n_theta
+        t1 = np.pi * (i + 1) / n_theta
+        for j in range(n_phi):
+            p0 = 2 * np.pi * j / n_phi
+            p1 = 2 * np.pi * (j + 1) / n_phi
+
+            def pt(t, p):
+                return center + radius * np.array(
+                    [np.sin(t) * np.cos(p), np.sin(t) * np.sin(p), np.cos(t)], np.float32
+                )
+
+            a, b, c, d = pt(t0, p0), pt(t1, p0), pt(t1, p1), pt(t0, p1)
+            vs.append(np.stack([a, b, c]))
+            if i != 0 and i != n_theta - 1:
+                vs.append(np.stack([a, c, d]))
+    return np.stack(vs)
+
+
+def cornell_box(
+    light_radiance=(17.0, 12.0, 4.0),
+    white=(0.725, 0.71, 0.68),
+    red=(0.63, 0.065, 0.05),
+    green=(0.14, 0.45, 0.091),
+    fov_deg: float = 39.3077,
+    extra_objects: str = "boxes",
+):
+    """The canonical Cornell box (BASELINE config 1 scene).
+
+    Coordinates: x right, y depth (camera looks +y), z up; box spans
+    [-1,1]x[0,2]x[0,2]. Returns a fully built Scene.
+    """
+    tris = []
+    mids = []
+
+    def add(t, mid):
+        tris.append(t)
+        mids.extend([mid] * len(t))
+
+    # 0 white, 1 red (left), 2 green (right), 3 light
+    add(quad([-1, 0, 0], [1, 0, 0], [1, 2, 0], [-1, 2, 0]), 0)          # floor
+    add(quad([-1, 0, 2], [-1, 2, 2], [1, 2, 2], [1, 0, 2]), 0)          # ceiling
+    add(quad([-1, 2, 0], [1, 2, 0], [1, 2, 2], [-1, 2, 2]), 0)          # back wall
+    add(quad([-1, 0, 0], [-1, 2, 0], [-1, 2, 2], [-1, 0, 2]), 1)        # left (red)
+    add(quad([1, 0, 0], [1, 0, 2], [1, 2, 2], [1, 2, 0]), 2)            # right (green)
+
+    if extra_objects == "boxes":
+        add(box([-0.65, 0.9, 0.0], [-0.05, 1.5, 1.2]), 0)               # tall block
+        add(box([0.1, 0.5, 0.0], [0.65, 1.05, 0.6]), 0)                 # short block
+    elif extra_objects == "spheres":
+        add(sphere([-0.4, 1.2, 0.45], 0.45), 4)
+        add(sphere([0.45, 0.8, 0.3], 0.3), 5)
+
+    # area light: small quad slightly below the ceiling
+    light_tris = quad(
+        [-0.25, 0.75, 1.999], [-0.25, 1.25, 1.999], [0.25, 1.25, 1.999], [0.25, 0.75, 1.999]
+    )
+    add(light_tris, 3)
+
+    vertices = np.concatenate(tris)
+    mat_id = np.asarray(mids, np.int32)
+
+    textures = Textures.build(
+        [
+            {"type": 0, "color_a": white},
+            {"type": 0, "color_a": red},
+            {"type": 0, "color_a": green},
+            {"type": 0, "color_a": [0, 0, 0]},
+            {"type": 0, "color_a": [1, 1, 1]},
+        ]
+    )
+    mat_records = [
+        {"bsdf_type": B.DIFFUSE, "tex_albedo": 0},
+        {"bsdf_type": B.DIFFUSE, "tex_albedo": 1},
+        {"bsdf_type": B.DIFFUSE, "tex_albedo": 2},
+        {"bsdf_type": B.DIFFUSE, "tex_albedo": 3,
+         "emission": np.asarray(light_radiance, np.float32), "light_id": 0},
+        {"bsdf_type": B.ROUGHCONDUCTOR, "tex_albedo": 4, "alpha_u": 0.08, "alpha_v": 0.08},
+        {"bsdf_type": B.DIELECTRIC, "tex_albedo": 4, "eta": 1.5},
+    ]
+    materials = Materials.build(mat_records)
+
+    light_records = [
+        {"type": L.AREA_LIGHT, "radiance": light_radiance, "tris": light_tris}
+    ]
+    camera = Camera.look_at(
+        origin=[0.0, -3.25, 1.0],
+        target=[0.0, 1.0, 1.0],
+        up=[0.0, 0.0, 1.0],
+        fov_deg=fov_deg,
+    )
+    return build_scene(
+        vertices, None, None, mat_id, materials, textures, light_records, camera
+    )
+
+
+def furnace_scene(albedo=0.7, env_radiance=1.0, bsdf_type=B.DIFFUSE, **mat_kw):
+    """White-furnace test scene: a sphere in a constant environment.
+
+    For a lossless BSDF the render must equal env_radiance everywhere
+    (SURVEY.md §4: furnace tests for every BSDF)."""
+    tris = sphere([0, 0, 0], 1.0, n_theta=24, n_phi=48)
+    mat_id = np.zeros(len(tris), np.int32)
+    textures = Textures.build([{"type": 0, "color_a": [albedo] * 3}])
+    materials = Materials.build([{"bsdf_type": bsdf_type, "tex_albedo": 0, **mat_kw}])
+    light_records = [
+        {"type": L.CONSTANT_ENV, "radiance": [env_radiance] * 3}
+    ]
+    camera = Camera.look_at(origin=[0, -4, 0], target=[0, 0, 0], fov_deg=35.0)
+    return build_scene(
+        tris, None, None, mat_id, materials, textures, light_records, camera
+    )
