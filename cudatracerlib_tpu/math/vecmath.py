@@ -71,11 +71,13 @@ def saturate(x):
 
 
 def safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped away from 0 so the backward pass never produces inf
+    (0 * inf = NaN poisons masked-branch gradients)."""
+    return jnp.sqrt(jnp.maximum(x, 1e-20))
 
 
 def safe_acos(x):
-    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+    return jnp.arccos(jnp.clip(x, -1.0 + 1e-7, 1.0 - 1e-7))
 
 
 def sqr(x):

@@ -45,7 +45,7 @@ def square_to_cosine_hemisphere_pdf(d):
 
 
 def square_to_uniform_disk(u):
-    r = jnp.sqrt(u[..., 0])
+    r = jnp.sqrt(jnp.maximum(u[..., 0], 1e-20))
     phi = 2.0 * PI * u[..., 1]
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
 
@@ -92,7 +92,7 @@ def square_to_uniform_cone_pdf(cos_cutoff):
 def square_to_tent(u):
     """1-D tent on [-1, 1] per component (reconstruction filter importance warp)."""
     def tent1(x):
-        return jnp.where(x < 0.5, jnp.sqrt(2.0 * x) - 1.0, 1.0 - jnp.sqrt(jnp.maximum(2.0 - 2.0 * x, 0.0)))
+        return jnp.where(x < 0.5, jnp.sqrt(jnp.maximum(2.0 * x, 1e-20)) - 1.0, 1.0 - jnp.sqrt(jnp.maximum(2.0 - 2.0 * x, 1e-20)))
 
     return jnp.stack([tent1(u[..., 0]), tent1(u[..., 1])], axis=-1)
 

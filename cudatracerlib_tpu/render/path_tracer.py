@@ -139,7 +139,8 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
                 t_max=ds.dist - 2.0 * config.ray_eps,
             )
             is_delta_l = ds.measure == 2  # DISCRETE
-            pdf_l_sa = jnp.where(is_delta_l, 1.0, ds.pdf) * lpmf
+            lpmf = jax.lax.stop_gradient(lpmf)
+            pdf_l_sa = jnp.where(is_delta_l, 1.0, jax.lax.stop_gradient(ds.pdf)) * lpmf
             w_nee = jnp.where(
                 is_delta_l, 1.0, mc.mis_weight(pdf_l_sa, pdf_b_l)
             )
@@ -164,7 +165,9 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
         # ---- russian roulette (PathTracer.cu:91-96) ----
         s, u_rr = s.next_1d()
         tmax_c = jnp.max(throughput, axis=-1) * carry.eta_scale
-        p_cont = mc.russian_roulette_prob(tmax_c, depth, config.rr_start)
+        p_cont = jax.lax.stop_gradient(
+            mc.russian_roulette_prob(tmax_c, depth, config.rr_start)
+        )
         survive = u_rr < p_cont
         throughput = throughput / jnp.maximum(p_cont, 1e-6)[..., None]
         cont = cont & survive

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..math import frame as fr
@@ -42,6 +43,15 @@ from ..sampling.records import (
     E_GLOSSY_TRANSMISSION,
     E_NULL,
 )
+
+
+
+def _sg(x):
+    """stop_gradient shorthand: sampling decisions and pdf denominators are
+    detached so sample_bsdf implements the *detached* gradient estimator
+    (unbiased for material parameters at fixed discontinuities; this is the
+    differentiability layer the CUDA reference lacks, SURVEY.md §7)."""
+    return jax.lax.stop_gradient(x)
 
 # BSDF type tags (mirror the reference's variant list, SceneTypes/BSDF.h:141)
 DIFFUSE = 0
@@ -193,10 +203,15 @@ def _dielectric_sample(mp, wo, u1):
     # radiance transport: compress by 1/eta_it^2 (Mitsuba convention)
     factor = eta_ti * eta_ti
     wi = jnp.where(pick_reflect[..., None], wi_r, wi_t)
+    # F/sg(F) ratios keep d(weight)/d(eta) unbiased through the discrete choice
+    r_refl = F / jnp.maximum(_sg(F), 1e-12)
+    r_trans = (1.0 - F) / jnp.maximum(_sg(1.0 - F), 1e-12)
     weight = jnp.where(
-        pick_reflect[..., None], mp.specular, mp.transmittance * factor[..., None]
+        pick_reflect[..., None],
+        mp.specular * r_refl[..., None],
+        mp.transmittance * (factor * r_trans)[..., None],
     )
-    pdf = jnp.where(pick_reflect, F, 1.0 - F)
+    pdf = _sg(jnp.where(pick_reflect, F, 1.0 - F))
     stype = jnp.where(pick_reflect, E_DELTA_REFLECTION, E_DELTA_TRANSMISSION)
     eta_rec = jnp.where(pick_reflect, 1.0, eta_it)
     return wi, weight, pdf, stype.astype(jnp.int32), eta_rec
@@ -211,8 +226,14 @@ def _thindielectric_sample(mp, wo, u1):
     wi_r = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
     wi_t = -wo
     wi = jnp.where(pick_reflect[..., None], wi_r, wi_t)
-    weight = jnp.where(pick_reflect[..., None], mp.specular, mp.transmittance)
-    pdf = jnp.where(pick_reflect, R, 1.0 - R)
+    r_refl = R / jnp.maximum(_sg(R), 1e-12)
+    r_trans = (1.0 - R) / jnp.maximum(_sg(1.0 - R), 1e-12)
+    weight = jnp.where(
+        pick_reflect[..., None],
+        mp.specular * r_refl[..., None],
+        mp.transmittance * r_trans[..., None],
+    )
+    pdf = _sg(jnp.where(pick_reflect, R, 1.0 - R))
     stype = jnp.where(pick_reflect, E_DELTA_REFLECTION, E_NULL)
     return wi, weight, pdf, stype.astype(jnp.int32), jnp.ones_like(pdf)
 
@@ -237,9 +258,9 @@ def _roughconductor_f_pdf(mp, wo, wi):
 
 def _roughconductor_sample(mp, wo, u2):
     m, pdf_m = mf.sample(mp.dist_type, wo, mp.alpha_u, mp.alpha_v, u2)
-    wi = 2.0 * jnp.sum(wo * m, axis=-1, keepdims=True) * m - wo
+    wi = _sg(2.0 * jnp.sum(wo * m, axis=-1, keepdims=True) * m - wo)
     f, pdf = _roughconductor_f_pdf(mp, wo, wi)
-    weight = f / jnp.maximum(pdf, 1e-12)[..., None]
+    weight = f / jnp.maximum(_sg(pdf), 1e-12)[..., None]
     valid = (fr.cos_theta(wo) > 0) & (fr.cos_theta(wi) > 0) & (pdf > 0)
     return (
         wi,
@@ -314,10 +335,10 @@ def _roughdielectric_sample(mp, wo, u2, u1):
     wi_r = 2.0 * wo_m[..., None] * m - wo
     # generalized refract about m (signed cos_t from fresnel_dielectric)
     wi_t = m * (wo_m * eta_ti + cos_t)[..., None] - wo * eta_ti[..., None]
-    wi = jnp.where(pick_reflect[..., None], wi_r, wi_t)
+    wi = _sg(jnp.where(pick_reflect[..., None], wi_r, wi_t))
 
     f, pdf = _roughdielectric_f_pdf(mp, wo, wi)
-    weight = f / jnp.maximum(pdf, 1e-12)[..., None]
+    weight = f / jnp.maximum(_sg(pdf), 1e-12)[..., None]
     valid = (pdf > 1e-12) & (pdf_m > 0)
     stype = jnp.where(pick_reflect, E_GLOSSY_REFLECTION, E_GLOSSY_TRANSMISSION)
     eta_rec = jnp.where(pick_reflect, 1.0, eta_it)
@@ -365,10 +386,11 @@ def _plastic_sample(mp, wo, u2, u1):
     wi = jnp.where(pick_spec[..., None], wi_s, wi_d)
     f_diff, _ = _plastic_terms(mp, wo, wi)
     pdf_d = (1.0 - F_o) * warp.square_to_cosine_hemisphere_pdf(wi)
+    r_spec = F_o / jnp.maximum(_sg(F_o), 1e-12)
     weight = jnp.where(
         pick_spec[..., None],
-        mp.specular,  # F_o / p_spec==F_o cancels
-        f_diff / jnp.maximum(pdf_d, 1e-12)[..., None],
+        mp.specular * r_spec[..., None],
+        f_diff / jnp.maximum(_sg(pdf_d), 1e-12)[..., None],
     )
     pdf = jnp.where(pick_spec, F_o, pdf_d)
     valid = fr.cos_theta(wo) > 0
@@ -413,9 +435,9 @@ def _roughplastic_sample(mp, wo, u2, u1):
     m, _ = mf.sample(mp.dist_type, wo, mp.alpha_u, mp.alpha_v, u2)
     wi_s = 2.0 * jnp.sum(wo * m, axis=-1, keepdims=True) * m - wo
     wi_d = warp.square_to_cosine_hemisphere(u2)
-    wi = jnp.where(pick_spec[..., None], wi_s, wi_d)
+    wi = _sg(jnp.where(pick_spec[..., None], wi_s, wi_d))
     f, pdf = _roughplastic_eval(mp, wo, wi)
-    weight = f / jnp.maximum(pdf, 1e-12)[..., None]
+    weight = f / jnp.maximum(_sg(pdf), 1e-12)[..., None]
     valid = (pdf > 1e-12) & (fr.cos_theta(wi) > 0)
     return (
         wi,
@@ -461,9 +483,9 @@ def _phong_sample(mp, wo, u2, u1):
     r = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
     f_r = fr.Frame.from_normal(r)
     wi_s = f_r.to_world(local)
-    wi = jnp.where(pick_d[..., None], wi_d, wi_s)
+    wi = _sg(jnp.where(pick_d[..., None], wi_d, wi_s))
     f, pdf = _phong_eval(mp, wo, wi)
-    weight = f / jnp.maximum(pdf, 1e-12)[..., None]
+    weight = f / jnp.maximum(_sg(pdf), 1e-12)[..., None]
     valid = (pdf > 1e-12) & (fr.cos_theta(wi) > 0)
     return (
         wi,
@@ -510,9 +532,9 @@ def _ward_sample(mp, wo, u2, u1):
     st = safe_sqrt(1.0 - ct * ct)
     h = jnp.stack([st * cp, st * sp, ct], axis=-1)
     wi_s = 2.0 * jnp.sum(wo * h, axis=-1, keepdims=True) * h - wo
-    wi = jnp.where(pick_d[..., None], wi_d, wi_s)
+    wi = _sg(jnp.where(pick_d[..., None], wi_d, wi_s))
     f, pdf = _ward_eval(mp, wo, wi)
-    weight = f / jnp.maximum(pdf, 1e-12)[..., None]
+    weight = f / jnp.maximum(_sg(pdf), 1e-12)[..., None]
     valid = (pdf > 1e-12) & (fr.cos_theta(wi) > 0)
     return (
         wi,

@@ -271,7 +271,7 @@ def sample_direct(lights: Lights, lid, ref_p, u2):
 
 
 def _env_uv_from_dir(d):
-    theta = jnp.arccos(jnp.clip(d[..., 2], -1.0, 1.0))
+    theta = jnp.arccos(jnp.clip(d[..., 2], -1.0 + 1e-7, 1.0 - 1e-7))
     phi = jnp.arctan2(d[..., 1], d[..., 0])
     phi = jnp.where(phi < 0, phi + 2 * PI, phi)
     return jnp.stack([phi * INV_TWOPI, theta * INV_PI], axis=-1)  # (u, v), v=0 at +z pole

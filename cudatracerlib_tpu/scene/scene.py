@@ -123,7 +123,10 @@ def make_interaction(scene: Scene, o, d, hit) -> Interaction:
     b2 = hit.bary[..., 1:2]
     b0 = 1.0 - b1 - b2
 
-    p = o + d * hit.t[..., None]
+    # Missed lanes carry t = t_max (possibly inf); clamp so p stays finite —
+    # inf coordinates poison the backward pass even under where-masks.
+    t_safe = jnp.where(hit.valid & jnp.isfinite(hit.t), hit.t, 1.0)
+    p = o + d * t_safe[..., None]
     n_geo = normalize(
         jnp.cross(v[..., 1, :] - v[..., 0, :], v[..., 2, :] - v[..., 0, :])
     )
