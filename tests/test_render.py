@@ -1,0 +1,144 @@
+"""End-to-end rendering tests: furnace, Cornell statistics, gradients
+(the SURVEY.md §4 test pyramid the CUDA reference lacks)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cudatracerlib_tpu.render.path_tracer import PTConfig, render
+from cudatracerlib_tpu.scene import bsdf as B
+from cudatracerlib_tpu.scene.shapes import cornell_box, furnace_scene
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return cornell_box()
+
+
+class TestFurnace:
+    def test_diffuse_furnace(self):
+        """Convex diffuse sphere in unit env -> radiance == albedo exactly."""
+        scene = furnace_scene(albedo=0.7, bsdf_type=B.DIFFUSE)
+        img = np.asarray(render(scene, 48, 48, 32, 0, PTConfig(max_depth=6)))
+        center = img[18:30, 18:30].mean()
+        edge = img[0:4, 0:4].mean()
+        assert abs(edge - 1.0) < 0.02, f"env miss radiance {edge}"
+        assert abs(center - 0.7) < 0.03, f"diffuse furnace {center}"
+
+    def test_white_furnace_unit_albedo(self):
+        """Albedo 1 diffuse: everything must be exactly env radiance (energy)."""
+        scene = furnace_scene(albedo=1.0, bsdf_type=B.DIFFUSE)
+        img = np.asarray(render(scene, 32, 32, 32, 0, PTConfig(max_depth=16)))
+        assert abs(img.mean() - 1.0) < 0.03, img.mean()
+
+    @pytest.mark.parametrize(
+        "bt,kw",
+        [
+            (B.ROUGHCONDUCTOR, dict(alpha_u=0.3, alpha_v=0.3)),
+            (B.PLASTIC, {}),
+            (B.ROUGHPLASTIC, dict(alpha_u=0.3, alpha_v=0.3)),
+            (B.PHONG, {}),
+            (B.WARD, dict(alpha_u=0.3, alpha_v=0.3)),
+            (B.DIELECTRIC, {}),
+            (B.ROUGHDIELECTRIC, dict(alpha_u=0.3, alpha_v=0.3)),
+            (B.THINDIELECTRIC, {}),
+            (B.CONDUCTOR, {}),
+            (B.ROUGHDIFFUSE, dict(alpha_u=0.3)),
+        ],
+    )
+    def test_energy_conservation(self, bt, kw):
+        """No BSDF may gain energy in a unit furnace."""
+        scene = furnace_scene(albedo=0.8, bsdf_type=bt, **kw)
+        img = np.asarray(render(scene, 32, 32, 16, 0, PTConfig(max_depth=8)))
+        assert np.isfinite(img).all()
+        assert img.mean() < 1.1, f"type {bt} gains energy: {img.mean()}"
+        # lossless transmissive/reflective types should stay near 1
+        if bt in (B.DIELECTRIC, B.THINDIELECTRIC, B.ROUGHDIELECTRIC):
+            assert img.mean() > 0.85, f"type {bt} loses too much: {img.mean()}"
+
+
+class TestCornell:
+    def test_colors_and_sanity(self, cornell):
+        img = np.asarray(render(cornell, 96, 96, 8, 0, PTConfig(max_depth=6)))
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.05
+        left = img[30:70, 3:12].mean(axis=(0, 1))
+        right = img[30:70, 84:93].mean(axis=(0, 1))
+        assert left[0] > 2 * left[1], f"left wall not red: {left}"
+        assert right[1] > 2 * right[0], f"right wall not green: {right}"
+
+    def test_deterministic(self, cornell):
+        a = np.asarray(render(cornell, 32, 32, 4, 7, PTConfig(max_depth=4)))
+        b = np.asarray(render(cornell, 32, 32, 4, 7, PTConfig(max_depth=4)))
+        np.testing.assert_array_equal(a, b)
+
+    def test_seed_variation(self, cornell):
+        a = np.asarray(render(cornell, 32, 32, 4, 0, PTConfig(max_depth=4)))
+        b = np.asarray(render(cornell, 32, 32, 4, 1, PTConfig(max_depth=4)))
+        assert np.abs(a - b).max() > 1e-4
+
+    def test_nee_consistency(self, cornell):
+        """NEE+MIS and BSDF-only sampling must converge to the same image."""
+        cfg_a = PTConfig(max_depth=4, rr_start=99, direct=True)
+        cfg_b = PTConfig(max_depth=4, rr_start=99, direct=False)
+        img_a = np.zeros((48, 48, 3), np.float32)
+        img_b = np.zeros((48, 48, 3), np.float32)
+        n = 24
+        for s in range(n):
+            img_a += np.asarray(render(cornell, 48, 48, 8, s, cfg_a)) / n
+            img_b += np.asarray(render(cornell, 48, 48, 8, s + 1000, cfg_b)) / n
+        # compare downsampled means (BSDF-only is noisy)
+        a = img_a.reshape(12, 4, 12, 4, 3).mean((1, 3))
+        b = img_b.reshape(12, 4, 12, 4, 3).mean((1, 3))
+        rel = np.abs(a - b).sum() / np.abs(a).sum()
+        assert rel < 0.15, f"NEE vs BSDF-only disagree: rel={rel}"
+
+
+class TestGradients:
+    """The BASELINE pixel-gradient-allclose gate (BASELINE.md)."""
+
+    def _fd_ad(self, scene, wrt, set_fn, h, idx):
+        cfg = PTConfig(max_depth=4, rr_start=99)
+
+        def loss(x):
+            return jnp.mean(render(set_fn(scene, x), 32, 32, 8, 0, cfg))
+
+        x0 = wrt
+        g_ad = jax.grad(loss)(x0)
+        e = jnp.zeros_like(x0)
+        e = e.at[idx].set(h)
+        fd = (loss(x0 + e) - loss(x0 - e)) / (2 * h)
+        return float(fd), float(g_ad[idx])
+
+    def test_albedo_gradient(self, cornell):
+        fd, ad = self._fd_ad(
+            cornell,
+            cornell.textures.color_a,
+            lambda s, x: s._replace(textures=s.textures._replace(color_a=x)),
+            1e-3,
+            (0, 0),
+        )
+        assert abs(fd - ad) < 0.05 * max(abs(fd), 1e-3) + 1e-4, (fd, ad)
+
+    def test_light_radiance_gradient(self, cornell):
+        fd, ad = self._fd_ad(
+            cornell,
+            cornell.lights.radiance,
+            lambda s, x: s._replace(lights=s.lights._replace(radiance=x)),
+            1e-2,
+            (0, 0),
+        )
+        assert abs(fd - ad) < 0.05 * max(abs(fd), 1e-4) + 1e-5, (fd, ad)
+
+    def test_roughness_gradient_finite(self):
+        scene = furnace_scene(albedo=0.8, bsdf_type=B.ROUGHCONDUCTOR, alpha_u=0.3, alpha_v=0.3)
+        cfg = PTConfig(max_depth=3, rr_start=99)
+
+        def loss(a):
+            s = scene._replace(
+                materials=scene.materials._replace(alpha_u=a, alpha_v=a)
+            )
+            return jnp.mean(render(s, 24, 24, 8, 0, cfg))
+
+        g = jax.grad(loss)(scene.materials.alpha_u)
+        assert np.isfinite(np.asarray(g)).all()
