@@ -31,15 +31,18 @@ def main():
     cfg = PTConfig(max_depth=max_depth)
     scene = cornell_box()
 
-    # compile
+    import numpy as np
+
+    # compile + settle (block_until_ready is unreliable over the axon tunnel;
+    # a host transfer forces real synchronization)
     img = render(scene, width, height, spp, jnp.uint32(0), cfg)
-    jax.block_until_ready(img)
+    np.asarray(img[:1, :1])
 
     n_iter = 5
     t0 = time.perf_counter()
     for i in range(n_iter):
         img = render(scene, width, height, spp, jnp.uint32(i + 1), cfg)
-    jax.block_until_ready(img)
+    np.asarray(img[:1, :1])
     dt = (time.perf_counter() - t0) / n_iter
 
     rays = count_rays(width, height, spp, max_depth)

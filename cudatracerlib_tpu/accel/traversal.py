@@ -133,14 +133,14 @@ def intersect(bvh: BVH, o, d, t_min=1e-4, t_max=jnp.inf, any_hit: bool = False,
         both = c0_hit & c1_hit
         any_child = c0_hit | c1_hit
 
-        # push far child when both children hit
+        # push far child when both children hit: one masked scatter of B lanes
+        # (a full-array where would rewrite the whole (B, STACK_DEPTH) stack
+        # every step — 48x the HBM traffic)
         push = is_inner & both
         sp_clamped = jnp.minimum(s.sp, STACK_DEPTH - 1)
-        stack = jnp.where(
-            push[:, None]
-            & (jnp.arange(STACK_DEPTH)[None, :] == sp_clamped[:, None]),
-            far_code[:, None],
-            s.stack,
+        col = jnp.where(push, sp_clamped, STACK_DEPTH)  # OOB -> dropped
+        stack = s.stack.at[jnp.arange(s.stack.shape[0]), col].set(
+            far_code, mode="drop"
         )
         sp_after_push = jnp.where(push, jnp.minimum(s.sp + 1, STACK_DEPTH), s.sp)
 
@@ -198,10 +198,50 @@ def intersect(bvh: BVH, o, d, t_min=1e-4, t_max=jnp.inf, any_hit: bool = False,
     return Hit(t=final.t_hit, prim=final.prim, bary=final.bary, valid=valid)
 
 
+    # Small scenes: dense intersection beats pointer-chasing on TPU (pure VPU
+    # math, zero gathers). This is the TPU-native specialization the CUDA
+    # reference has no analogue for. On TPU the dense path is a Pallas kernel
+    # (ops/intersect_pallas.py); on CPU an XLA einsum-style sweep.
+DENSE_MAX_TRIS = 4096
+
+
+def refine_hit(bvh: BVH, o, d, hit: Hit) -> Hit:
+    """Differentiable re-evaluation of the hit: given the (detached) hit
+    triangle id, recompute t/u/v in closed form from the Woop row so
+    gradients flow into ray origin/direction and (later) vertex positions —
+    regardless of which intersector found the hit."""
+    prim = jax.lax.stop_gradient(jnp.maximum(hit.prim, 0))
+    rows = jnp.take(bvh.woop, prim, axis=0)
+    t, u, v, _ = intersect_woop(rows, o, d, -jnp.inf, jnp.inf)
+    valid = hit.valid
+    return Hit(
+        t=jnp.where(valid, t, jax.lax.stop_gradient(hit.t)),
+        prim=jax.lax.stop_gradient(hit.prim),
+        bary=jnp.where(valid[..., None], jnp.stack([u, v], axis=-1),
+                       jax.lax.stop_gradient(hit.bary)),
+        valid=valid,
+    )
+
+
+def intersect_auto(bvh: BVH, o, d, t_min=1e-4, t_max=jnp.inf, any_hit: bool = False):
+    """Pick the fastest correct intersector for scene size + backend (static)."""
+    platform = jax.devices()[0].platform
+    if bvh.woop.shape[0] <= DENSE_MAX_TRIS and platform not in ("cpu",):
+        from ..ops.intersect_pallas import intersect_dense
+
+        raw = intersect_dense(bvh, o, d, t_min, jnp.minimum(t_max, 1e30),
+                              any_hit=any_hit)
+        return refine_hit(bvh, o, d, raw)
+    if bvh.woop.shape[0] <= 512:
+        return intersect_brute_force(bvh, o, d, t_min, t_max)
+    raw = intersect(bvh, o, d, t_min, t_max, any_hit=any_hit)
+    return refine_hit(bvh, o, d, raw)
+
+
 def occluded(bvh: BVH, o, d, t_min=1e-4, t_max=jnp.inf):
     """Any-hit query: True where the segment is blocked
     (reference KernelDynamicScene::Occluded, Engine/KernelDynamicScene.cu)."""
-    return intersect(bvh, o, d, t_min, t_max, any_hit=True).valid
+    return intersect_auto(bvh, o, d, t_min, t_max, any_hit=True).valid
 
 
 def intersect_brute_force(bvh: BVH, o, d, t_min=1e-4, t_max=jnp.inf):

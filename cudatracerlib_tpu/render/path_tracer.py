@@ -34,6 +34,33 @@ class PTConfig(NamedTuple):
     rr_start: int = 5
     direct: bool = True          # NEE on/off (reference PathTracer "Direct" param)
     ray_eps: float = RAY_EPS
+    # scene-static specialization (filled by specialize_config): tuples of the
+    # bsdf/light/texture type tags actually present — absent families are
+    # never computed (TPU-native analogue of per-type template instantiation)
+    bsdf_types: tuple | None = None
+    light_types: tuple | None = None
+    tex_types: tuple | None = None
+
+
+def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
+    """Derive the static type sets from a concrete scene (host side)."""
+    if config.bsdf_types is not None:
+        return config
+    import numpy as np
+
+    used_mats = np.unique(np.asarray(scene.shading.mat_id))
+    mats = scene.materials
+    bsdf_types = tuple(sorted(int(x) for x in np.unique(np.asarray(mats.bsdf_type)[used_mats])))
+    light_types = tuple(sorted(int(x) for x in np.unique(np.asarray(scene.lights.ltype))))
+    tex_ids = np.unique(np.concatenate([
+        np.asarray(mats.tex_albedo)[used_mats],
+        np.asarray(mats.tex_specular)[used_mats],
+        np.asarray(mats.tex_transmittance)[used_mats],
+    ]))
+    tex_types = tuple(sorted(int(x) for x in np.unique(np.asarray(scene.textures.ttype)[tex_ids])))
+    return config._replace(
+        bsdf_types=bsdf_types, light_types=light_types, tex_types=tex_types
+    )
 
 
 def _select_light(scene: Scene, u):
@@ -83,45 +110,52 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
         eta_scale=jnp.ones((B,), jnp.float32),
     )
 
+    lt = config.light_types
+    has_env_static = lt is None or (lights_mod.INFINITE in lt) or (lights_mod.CONSTANT_ENV in lt)
+    has_area_static = lt is None or (lights_mod.AREA_LIGHT in lt)
+
     def bounce(carry: _Carry, depth):
         s = carry.sampler
-        hit = traversal.intersect(scene.bvh, carry.o, carry.d)
+        hit = traversal.intersect_auto(scene.bvh, carry.o, carry.d)
         it = make_interaction(scene, carry.o, carry.d, hit)
         found = hit.valid & carry.active
+        L = carry.L
 
         # ---- environment on escape (PathTracer.cu:98-111) ----
-        has_env = scene.env_light_id >= 0
-        env_id = jnp.maximum(scene.env_light_id, 0)
-        env_ids = jnp.broadcast_to(env_id, (B,))
-        env_L = lights_mod.eval_env(scene.lights, env_ids, carry.d)
-        env_pdf_l = lights_mod.pdf_env_dir(scene.lights, env_ids, carry.d)
-        env_sel = _light_select_pmf(scene, env_ids)
-        w_env = jnp.where(
-            carry.prev_delta | ~jnp.asarray(config.direct),
-            1.0,
-            mc.mis_weight(carry.prev_pdf, env_pdf_l * env_sel),
-        )
-        escaped = carry.active & ~hit.valid & has_env
-        L = carry.L + jnp.where(escaped[..., None], carry.throughput * env_L * w_env[..., None], 0.0)
+        if has_env_static:
+            has_env = scene.env_light_id >= 0
+            env_id = jnp.maximum(scene.env_light_id, 0)
+            env_ids = jnp.broadcast_to(env_id, (B,))
+            env_L = lights_mod.eval_env(scene.lights, env_ids, carry.d)
+            env_pdf_l = lights_mod.pdf_env_dir(scene.lights, env_ids, carry.d)
+            env_sel = _light_select_pmf(scene, env_ids)
+            w_env = jnp.where(
+                carry.prev_delta | ~jnp.asarray(config.direct),
+                1.0,
+                mc.mis_weight(carry.prev_pdf, env_pdf_l * env_sel),
+            )
+            escaped = carry.active & ~hit.valid & has_env
+            L = L + jnp.where(escaped[..., None], carry.throughput * env_L * w_env[..., None], 0.0)
 
         # ---- emission at hit (MIS against NEE, PathTracer.cu:62-86) ----
-        mat_light = scene.materials.light_id[it.mat_id]
-        emissive = found & (mat_light >= 0)
-        lid = jnp.maximum(mat_light, 0)
         wo_world = -carry.d
-        Le = lights_mod.eval_area_emission(scene.lights, lid, it.n_geo, wo_world)
-        pdf_light_hit = lights_mod.pdf_direct_area(
-            scene.lights, lid, carry.o, it.p, it.n_geo
-        ) * _light_select_pmf(scene, lid)
-        w_hit = jnp.where(
-            carry.prev_delta | ~jnp.asarray(config.direct),
-            1.0,
-            mc.mis_weight(carry.prev_pdf, pdf_light_hit),
-        )
-        L = L + jnp.where(emissive[..., None], carry.throughput * Le * w_hit[..., None], 0.0)
+        if has_area_static:
+            mat_light = scene.materials.light_id[it.mat_id]
+            emissive = found & (mat_light >= 0)
+            lid = jnp.maximum(mat_light, 0)
+            Le = lights_mod.eval_area_emission(scene.lights, lid, it.n_geo, wo_world)
+            pdf_light_hit = lights_mod.pdf_direct_area(
+                scene.lights, lid, carry.o, it.p, it.n_geo
+            ) * _light_select_pmf(scene, lid)
+            w_hit = jnp.where(
+                carry.prev_delta | ~jnp.asarray(config.direct),
+                1.0,
+                mc.mis_weight(carry.prev_pdf, pdf_light_hit),
+            )
+            L = L + jnp.where(emissive[..., None], carry.throughput * Le * w_hit[..., None], 0.0)
 
         # ---- surface shading setup ----
-        mp = gather_mat_params(scene, it)
+        mp = gather_mat_params(scene, it, config.tex_types)
         wo_local = it.frame.to_local(wo_world)
 
         # ---- next-event estimation (TraceAlgorithms.cu:44-101) ----
@@ -129,9 +163,11 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
         s, u_l2 = s.next_2d()
         if config.direct and scene.n_lights > 0:
             lsel, lpmf, _ = _select_light(scene, u_sel)
-            ds, Lrad = lights_mod.sample_direct(scene.lights, lsel, it.p, u_l2)
+            ds, Lrad = lights_mod.sample_direct(scene.lights, lsel, it.p, u_l2,
+                                                active=config.light_types)
             wi_l_local = it.frame.to_local(ds.d)
-            f_l, pdf_b_l = bsdf_mod.eval_bsdf(mp, wo_local, wi_l_local)
+            f_l, pdf_b_l = bsdf_mod.eval_bsdf(mp, wo_local, wi_l_local,
+                                              active=config.bsdf_types)
             # occlusion
             sh_o = _offset_ray(it.p, it.n_geo, ds.d, config.ray_eps)
             blocked = traversal.occluded(
@@ -156,7 +192,8 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
         # ---- BSDF sampling ----
         s, u_b2 = s.next_2d()
         s, u_b1 = s.next_1d()
-        bs = bsdf_mod.sample_bsdf(mp, wo_local, u_b2, u_b1)
+        bs = bsdf_mod.sample_bsdf(mp, wo_local, u_b2, u_b1,
+                                  active=config.bsdf_types)
         wi_world = it.frame.to_world(bs.wi)
         new_o = _offset_ray(it.p, it.n_geo, wi_world, config.ray_eps)
         throughput = carry.throughput * bs.weight
@@ -192,14 +229,22 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
     return final.L, final.sampler
 
 
-@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
 def render(scene: Scene, width: int, height: int, spp: int, seed,
            config: PTConfig = PTConfig()):
     """Render a full frame: returns (H, W, 3) radiance image.
 
     One pass = spp camera samples per pixel, stratified jitter, box filter —
     matching the reference Tracer<>::DoPass structure (Kernel/Tracer.h:209-248).
+    Thin wrapper: derives the scene-static specialization, then calls the
+    jitted implementation (cache keyed on the specialized config).
     """
+    config = specialize_config(scene, config)
+    return _render_impl(scene, width, height, spp, seed, config)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
+def _render_impl(scene: Scene, width: int, height: int, spp: int, seed,
+                 config: PTConfig):
     n_px = width * height
     pixel_id = jnp.tile(jnp.arange(n_px, dtype=jnp.uint32), spp)
     sample_idx = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n_px)

@@ -549,8 +549,13 @@ def _ward_sample(mp, wo, u2, u1):
 # Dispatch
 # --------------------------------------------------------------------------
 
-def eval_bsdf(mp: MatParams, wo, wi):
-    """f(wo, wi) * |cos_theta(wi)| and solid-angle pdf; 0 for delta lobes."""
+def eval_bsdf(mp: MatParams, wo, wi, active=None):
+    """f(wo, wi) * |cos_theta(wi)| and solid-angle pdf; 0 for delta lobes.
+
+    `active`: optional static tuple of bsdf type tags present in the scene —
+    absent families are skipped entirely (scene-static specialization, the
+    TPU-native analogue of the reference's per-type template instantiation).
+    """
     s = _flip_sign(mp, wo)
     wo_l = _mulz(wo, s)
     wi_l = _mulz(wi, s)
@@ -569,6 +574,8 @@ def eval_bsdf(mp: MatParams, wo, wi):
         (PHONG, _phong_eval),
         (WARD, _ward_eval),
     ]:
+        if active is not None and tag not in active:
+            continue
         fi, pi_ = fn(mp, wo_l, wi_l)
         m = (t == tag)
         f = jnp.where(m[..., None], fi, f)
@@ -576,12 +583,13 @@ def eval_bsdf(mp: MatParams, wo, wi):
     return f, pdf
 
 
-def pdf_bsdf(mp: MatParams, wo, wi):
-    return eval_bsdf(mp, wo, wi)[1]
+def pdf_bsdf(mp: MatParams, wo, wi, active=None):
+    return eval_bsdf(mp, wo, wi, active)[1]
 
 
-def sample_bsdf(mp: MatParams, wo, u2, u1) -> BSDFSample:
-    """Importance-sample the BSDF. u2: (..., 2); u1: (...,)."""
+def sample_bsdf(mp: MatParams, wo, u2, u1, active=None) -> BSDFSample:
+    """Importance-sample the BSDF. u2: (..., 2); u1: (...,).
+    `active`: static tuple of present type tags (see eval_bsdf)."""
     s = _flip_sign(mp, wo)
     wo_l = _mulz(wo, s)
     t = mp.bsdf_type
@@ -592,18 +600,22 @@ def sample_bsdf(mp: MatParams, wo, u2, u1) -> BSDFSample:
     stype = jnp.zeros(wo.shape[:-1], jnp.int32)
     eta = jnp.ones(wo.shape[:-1], jnp.float32)
 
+    makers = [
+        (DIFFUSE, lambda: _diffuse_like_sample(mp, wo_l, u2, rough=False)),
+        (ROUGHDIFFUSE, lambda: _diffuse_like_sample(mp, wo_l, u2, rough=True)),
+        (CONDUCTOR, lambda: _conductor_sample(mp, wo_l)),
+        (DIELECTRIC, lambda: _dielectric_sample(mp, wo_l, u1)),
+        (THINDIELECTRIC, lambda: _thindielectric_sample(mp, wo_l, u1)),
+        (ROUGHCONDUCTOR, lambda: _roughconductor_sample(mp, wo_l, u2)),
+        (ROUGHDIELECTRIC, lambda: _roughdielectric_sample(mp, wo_l, u2, u1)),
+        (PLASTIC, lambda: _plastic_sample(mp, wo_l, u2, u1)),
+        (ROUGHPLASTIC, lambda: _roughplastic_sample(mp, wo_l, u2, u1)),
+        (PHONG, lambda: _phong_sample(mp, wo_l, u2, u1)),
+        (WARD, lambda: _ward_sample(mp, wo_l, u2, u1)),
+    ]
     results = [
-        (DIFFUSE, _diffuse_like_sample(mp, wo_l, u2, rough=False)),
-        (ROUGHDIFFUSE, _diffuse_like_sample(mp, wo_l, u2, rough=True)),
-        (CONDUCTOR, _conductor_sample(mp, wo_l)),
-        (DIELECTRIC, _dielectric_sample(mp, wo_l, u1)),
-        (THINDIELECTRIC, _thindielectric_sample(mp, wo_l, u1)),
-        (ROUGHCONDUCTOR, _roughconductor_sample(mp, wo_l, u2)),
-        (ROUGHDIELECTRIC, _roughdielectric_sample(mp, wo_l, u2, u1)),
-        (PLASTIC, _plastic_sample(mp, wo_l, u2, u1)),
-        (ROUGHPLASTIC, _roughplastic_sample(mp, wo_l, u2, u1)),
-        (PHONG, _phong_sample(mp, wo_l, u2, u1)),
-        (WARD, _ward_sample(mp, wo_l, u2, u1)),
+        (tag, mk()) for tag, mk in makers
+        if active is None or tag in active
     ]
     for tag, (wi_i, w_i, p_i, st_i, eta_i) in results:
         m = (t == tag)

@@ -89,9 +89,13 @@ def build_lights(records: list[dict], world_center, world_radius,
     cf = np.full(nl, np.cos(np.radians(15.0)), np.float32)
     tri_first = np.zeros(nl, np.int32)
     tri_count = np.zeros(nl, np.int32)
-    tri_cdf = np.tile(
-        (np.arange(MAX_LIGHT_TRIS, dtype=np.float32) + 1) / MAX_LIGHT_TRIS, (nl, 1)
-    )
+    max_tris = 4
+    for r in records:
+        if r["type"] == AREA_LIGHT:
+            max_tris = max(max_tris, int(np.asarray(r["tris"]).shape[0]))
+    width = 1 << (max_tris - 1).bit_length()  # pad CDF rows to next pow2
+    assert width <= MAX_LIGHT_TRIS, "increase MAX_LIGHT_TRIS"
+    tri_cdf = np.tile((np.arange(width, dtype=np.float32) + 1) / width, (nl, 1))
     area = np.zeros(nl, np.float32)
     pool: list[np.ndarray] = []
 
@@ -186,7 +190,7 @@ def _spot_falloff(lights: Lights, lid, w_local):
     return jnp.where(cd < cw, 0.0, jnp.where(cd > cf, 1.0, t * t * (3.0 - 2.0 * t)))
 
 
-def sample_direct(lights: Lights, lid, ref_p, u2):
+def sample_direct(lights: Lights, lid, ref_p, u2, active=None):
     """Sample a direction from `ref_p` toward light `lid` (batched).
 
     Returns (DirectSample, radiance (..,3)) with pdf w.r.t. solid angle at ref_p
@@ -197,47 +201,61 @@ def sample_direct(lights: Lights, lid, ref_p, u2):
     t = lights.ltype[lid]
     wr = jnp.maximum(lights.world_radius, 1e-6)
 
-    # ---- point ----
-    to_l = lights.position[lid] - ref_p
-    dist2_p = jnp.maximum(dot(to_l, to_l), 1e-12)
-    dist_p = jnp.sqrt(dist2_p)
-    d_point = to_l / dist_p[..., None]
-    rad_point = lights.radiance[lid] / dist2_p[..., None]
+    def on(*types):
+        return active is None or any(x in active for x in types)
 
-    # ---- spot (same geometry, radiance scaled by falloff) ----
-    fall = _spot_falloff(lights, lid, d_point)
-    rad_spot = rad_point * fall[..., None]
+    zero = jnp.zeros(jnp.shape(t), jnp.float32)
+    zero3 = jnp.zeros(jnp.shape(t) + (3,), jnp.float32)
+
+    # ---- point / spot ----
+    if on(POINT, SPOT):
+        to_l = lights.position[lid] - ref_p
+        dist2_p = jnp.maximum(dot(to_l, to_l), 1e-12)
+        dist_p = jnp.sqrt(dist2_p)
+        d_point = to_l / dist_p[..., None]
+        rad_point = lights.radiance[lid] / dist2_p[..., None]
+        fall = _spot_falloff(lights, lid, d_point)
+        rad_spot = rad_point * fall[..., None]
+    else:
+        dist_p, d_point, rad_point, rad_spot = zero, zero3, zero3, zero3
 
     # ---- distant ----
     d_dist = -lights.direction[lid]
     rad_distant = lights.radiance[lid]
 
     # ---- area: pick a triangle from the per-light CDF, uniform point on it ----
-    cdf_rows = lights.tri_cdf[lid]
-    tri_sel, pmf, u_re = mc.sample_discrete(cdf_rows, u2[..., 0])
-    tri_id = jnp.clip(lights.tri_first[lid] + tri_sel, 0, lights.tris.shape[0] - 1)
-    v = lights.tris[tri_id]
-    bary = warp.square_to_uniform_triangle(
-        jnp.stack([u_re, u2[..., 1]], axis=-1)
-    )
-    p_area = (
-        v[..., 0, :] * (1.0 - bary[..., 0:1] - bary[..., 1:2])
-        + v[..., 1, :] * bary[..., 0:1]
-        + v[..., 2, :] * bary[..., 1:2]
-    )
-    n_area = lights.tri_n[tri_id]
-    to_a = p_area - ref_p
-    dist2_a = jnp.maximum(dot(to_a, to_a), 1e-12)
-    dist_a = jnp.sqrt(dist2_a)
-    d_area = to_a / dist_a[..., None]
-    cos_l = -dot(d_area, n_area)
-    # area pdf (1/total area) -> solid angle
-    pdf_area = dist2_a / jnp.maximum(jnp.abs(cos_l) * jnp.maximum(lights.area[lid], 1e-12), 1e-12)
-    front = cos_l > 0.0
-    rad_area = jnp.where(front[..., None], lights.radiance[lid], 0.0)
+    if on(AREA_LIGHT):
+        cdf_rows = lights.tri_cdf[lid]
+        tri_sel, pmf, u_re = mc.sample_discrete(cdf_rows, u2[..., 0])
+        tri_id = jnp.clip(lights.tri_first[lid] + tri_sel, 0, lights.tris.shape[0] - 1)
+        v = lights.tris[tri_id]
+        bary = warp.square_to_uniform_triangle(
+            jnp.stack([u_re, u2[..., 1]], axis=-1)
+        )
+        p_area = (
+            v[..., 0, :] * (1.0 - bary[..., 0:1] - bary[..., 1:2])
+            + v[..., 1, :] * bary[..., 0:1]
+            + v[..., 2, :] * bary[..., 1:2]
+        )
+        n_area = lights.tri_n[tri_id]
+        to_a = p_area - ref_p
+        dist2_a = jnp.maximum(dot(to_a, to_a), 1e-12)
+        dist_a = jnp.sqrt(dist2_a)
+        d_area = to_a / dist_a[..., None]
+        cos_l = -dot(d_area, n_area)
+        # area pdf (1/total area) -> solid angle
+        pdf_area = dist2_a / jnp.maximum(jnp.abs(cos_l) * jnp.maximum(lights.area[lid], 1e-12), 1e-12)
+        front = cos_l > 0.0
+        rad_area = jnp.where(front[..., None], lights.radiance[lid], 0.0)
+    else:
+        dist_a, d_area, n_area, p_area = zero, zero3, zero3, zero3
+        pdf_area, rad_area = zero, zero3
 
     # ---- environment (importance over the map for INFINITE, uniform for CONSTANT) ----
-    d_env, pdf_env, rad_env = _sample_env(lights, lid, u2)
+    if on(INFINITE, CONSTANT_ENV):
+        d_env, pdf_env, rad_env = _sample_env(lights, lid, u2)
+    else:
+        d_env, pdf_env, rad_env = zero3, zero, zero3
 
     is_delta_t = (t == POINT) | (t == SPOT) | (t == DISTANT)
     d = jnp.where((t == POINT)[..., None] | (t == SPOT)[..., None], d_point, d_dist)

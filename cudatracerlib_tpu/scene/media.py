@@ -1,0 +1,239 @@
+"""Participating media: homogeneous + dense-grid volumes.
+
+Counterpart of reference ``SceneTypes/Volumes.h:289`` (HomogeneousVolumeDensity
+:54, VolumeGrid with trilinear dense grids :184, KernelAggregateVolume union of
+<=16 volumes :339-395): sigma_a/sigma_s/Le lookups, transmittance `tau`, and
+distance sampling. TPU design: one SoA table of volumes; grid data lives in a
+fixed-size stacked 4-D array (V, R, R, R) per channel; transmittance along a
+ray uses ratio tracking for grids and the closed form for homogeneous media —
+all differentiable w.r.t. sigma/albedo/Le (BASELINE config 4's
+"transmittance gradients").
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..math.vecmath import dot, safe_sqrt
+from ..sampling.rng import Sampler
+
+HOMOGENEOUS = 0
+GRID = 1
+
+GRID_RES = 32  # fixed grid resolution per axis (resampled at load)
+MAX_VOLUMES = 4
+TAU_STEPS = 32  # fixed quadrature/tracking steps along a segment
+
+
+class Media(NamedTuple):
+    active: jnp.ndarray     # (V,) int32 0/1
+    vtype: jnp.ndarray      # (V,) int32
+    sigma_a: jnp.ndarray    # (V, 3)
+    sigma_s: jnp.ndarray    # (V, 3)
+    le: jnp.ndarray         # (V, 3) emission
+    phase_type: jnp.ndarray # (V,) int32 (scene/phase.py tags)
+    phase_g: jnp.ndarray    # (V,)
+    box_min: jnp.ndarray    # (V, 3)
+    box_max: jnp.ndarray    # (V, 3)
+    density: jnp.ndarray    # (V, R, R, R) density multiplier for GRID (1 dummy)
+
+    @property
+    def count(self) -> int:
+        return self.active.shape[0]
+
+    @staticmethod
+    def build(records: list[dict]) -> "Media":
+        v = MAX_VOLUMES
+        out = dict(
+            active=np.zeros(v, np.int32),
+            vtype=np.zeros(v, np.int32),
+            sigma_a=np.zeros((v, 3), np.float32),
+            sigma_s=np.zeros((v, 3), np.float32),
+            le=np.zeros((v, 3), np.float32),
+            phase_type=np.zeros(v, np.int32),
+            phase_g=np.zeros(v, np.float32),
+            box_min=np.zeros((v, 3), np.float32),
+            box_max=np.ones((v, 3), np.float32),
+        )
+        density = np.ones((v, GRID_RES, GRID_RES, GRID_RES), np.float32)
+        for i, r in enumerate(records[:v]):
+            out["active"][i] = 1
+            out["vtype"][i] = r.get("type", HOMOGENEOUS)
+            out["sigma_a"][i] = r.get("sigma_a", [0.1] * 3)
+            out["sigma_s"][i] = r.get("sigma_s", [0.1] * 3)
+            out["le"][i] = r.get("le", [0.0] * 3)
+            out["phase_type"][i] = r.get("phase_type", 0)
+            out["phase_g"][i] = r.get("phase_g", 0.0)
+            out["box_min"][i] = r.get("box_min", [0, 0, 0])
+            out["box_max"][i] = r.get("box_max", [1, 1, 1])
+            if "density" in r:
+                d = np.asarray(r["density"], np.float32)
+                assert d.shape == (GRID_RES,) * 3, "resample density to GRID_RES^3"
+                density[i] = d
+        return Media(**{k: jnp.asarray(x) for k, x in out.items()},
+                     density=jnp.asarray(density))
+
+    @staticmethod
+    def empty() -> "Media":
+        return Media.build([])
+
+
+def _ray_box(box_min, box_max, o, d, t_min, t_max):
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    t0 = (box_min - o) * inv
+    t1 = (box_max - o) * inv
+    near = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), t_min)
+    far = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1), t_max)
+    return near, far, near < far
+
+
+def _grid_density(media: Media, vid, p):
+    """Trilinear density lookup in volume vid's local box (DenseVolGrid)."""
+    lo = media.box_min[vid]
+    hi = media.box_max[vid]
+    q = (p - lo) / jnp.maximum(hi - lo, 1e-9) * (GRID_RES - 1)
+    q = jnp.clip(q, 0.0, GRID_RES - 1 - 1e-4)
+    i0 = jnp.floor(q).astype(jnp.int32)
+    f = q - i0
+    i1 = jnp.minimum(i0 + 1, GRID_RES - 1)
+    dgrid = media.density[vid]
+
+    def at(ix, iy, iz):
+        return dgrid[..., ix, iy, iz] if dgrid.ndim == 3 else dgrid[
+            jnp.arange(dgrid.shape[0]), ix, iy, iz
+        ]
+
+    # gather 8 corners (vid is batched: density[vid] -> (..., R, R, R))
+    def corner(ax, ay, az):
+        idx = (ax, ay, az)
+        return jnp.take_along_axis(
+            jnp.take_along_axis(
+                jnp.take_along_axis(dgrid, ax[..., None, None, None], -3),
+                ay[..., None, None, None], -2),
+            az[..., None, None, None], -1)[..., 0, 0, 0]
+
+    c000 = corner(i0[..., 0], i0[..., 1], i0[..., 2])
+    c100 = corner(i1[..., 0], i0[..., 1], i0[..., 2])
+    c010 = corner(i0[..., 0], i1[..., 1], i0[..., 2])
+    c110 = corner(i1[..., 0], i1[..., 1], i0[..., 2])
+    c001 = corner(i0[..., 0], i0[..., 1], i1[..., 2])
+    c101 = corner(i1[..., 0], i0[..., 1], i1[..., 2])
+    c011 = corner(i0[..., 0], i1[..., 1], i1[..., 2])
+    c111 = corner(i1[..., 0], i1[..., 1], i1[..., 2])
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    c00 = c000 * (1 - fx) + c100 * fx
+    c10 = c010 * (1 - fx) + c110 * fx
+    c01 = c001 * (1 - fx) + c101 * fx
+    c11 = c011 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def density_at(media: Media, vid, p):
+    """Density multiplier at world point p (inside-box check included)."""
+    inside = jnp.all((p >= media.box_min[vid]) & (p <= media.box_max[vid]), axis=-1)
+    base = jnp.where(media.vtype[vid] == GRID, _grid_density(media, vid, p), 1.0)
+    return jnp.where(inside & (media.active[vid] > 0), base, 0.0)
+
+
+def sigma_t_at(media: Media, vid, p):
+    dens = density_at(media, vid, p)
+    return (media.sigma_a[vid] + media.sigma_s[vid]) * dens[..., None]
+
+
+def tau_segment(media: Media, vid, o, d, t0, t1):
+    """Optical depth along [t0, t1] — closed form for homogeneous, fixed-step
+    quadrature for grids (reference VolumeRegion::tau; TPU: static step count,
+    differentiable)."""
+    seg = jnp.maximum(t1 - t0, 0.0)
+    # homogeneous
+    st = media.sigma_a[vid] + media.sigma_s[vid]
+    tau_h = st * seg[..., None]
+    # grid: midpoint rule over TAU_STEPS
+    dt = seg / TAU_STEPS
+    ts = t0[..., None] + (jnp.arange(TAU_STEPS, dtype=jnp.float32) + 0.5) * dt[..., None]
+    pts = o[..., None, :] + d[..., None, :] * ts[..., None]
+    dens = _grid_density(media, vid[..., None], pts)  # broadcast over steps
+    tau_g = st * (jnp.sum(dens, axis=-1) * dt)[..., None]
+    return jnp.where((media.vtype[vid] == GRID)[..., None], tau_g, tau_h)
+
+
+def transmittance(media: Media, o, d, t_min, t_max):
+    """Total transmittance over all active volumes along [t_min, t_max]
+    (KernelAggregateVolume union semantics, Volumes.h:339-395)."""
+    tr = jnp.ones(o.shape[:-1] + (3,), jnp.float32)
+    for v in range(MAX_VOLUMES):
+        vid = jnp.full(o.shape[:-1], v, jnp.int32)
+        near, far, hit = _ray_box(media.box_min[v], media.box_max[v], o, d, t_min, t_max)
+        tau = tau_segment(media, vid, o, d, near, jnp.maximum(far, near))
+        act = hit & (media.active[v] > 0)
+        tr = tr * jnp.where(act[..., None], jnp.exp(-tau), 1.0)
+    return tr
+
+
+def sample_distance(media: Media, o, d, t_min, t_max, sampler: Sampler):
+    """Sample a scattering distance against the union medium.
+
+    Returns (sampler, t, inside_medium, weight (..,3), vid, p_scatter):
+    standard closed-form sampling for homogeneous media / ratio tracking-style
+    single-volume handling for grids (majorant = max density).
+    weight = sigma_s * Tr / pdf for medium events, Tr / P(surface) for
+    pass-through (reference VolumeRegion::sampleDistance semantics).
+    """
+    B = o.shape[:-1]
+    # find first active volume overlapping the segment (union of <= MAX simplification:
+    # nearest box wins; typical scenes have one medium)
+    best_near = jnp.full(B, jnp.inf)
+    best_far = jnp.zeros(B)
+    best_vid = jnp.full(B, -1, jnp.int32)
+    for v in range(MAX_VOLUMES):
+        near, far, hitb = _ray_box(media.box_min[v], media.box_max[v], o, d, t_min, t_max)
+        act = hitb & (media.active[v] > 0)
+        better = act & (near < best_near)
+        best_near = jnp.where(better, near, best_near)
+        best_far = jnp.where(better, far, best_far)
+        best_vid = jnp.where(better, v, best_vid)
+
+    vid = jnp.maximum(best_vid, 0)
+    in_vol = best_vid >= 0
+
+    # channel-average sigma_t with majorant density for grids
+    maj = jnp.where(
+        media.vtype[vid] == GRID,
+        jnp.max(media.density[vid], axis=(-1, -2, -3)),
+        1.0,
+    )
+    sig_t = jnp.mean(media.sigma_a[vid] + media.sigma_s[vid], axis=-1) * maj
+    sig_t = jnp.maximum(sig_t, 1e-6)
+
+    sampler, u = sampler.next_1d()
+    t_cand = best_near - jnp.log(jnp.maximum(1.0 - u, 1e-12)) / sig_t
+    scatter = in_vol & (t_cand < best_far)
+    t_s = jnp.where(scatter, t_cand, t_max)
+    p_s = o + d * t_s[..., None]
+
+    # real collision probability for grids (single rejection step approximation)
+    dens = density_at(media, vid, p_s)
+    sampler, u2 = sampler.next_1d()
+    real = u2 < (dens / jnp.maximum(maj, 1e-9))
+    scatter = scatter & real
+
+    # weights (detached pdf — differentiable sigma via the Tr factor)
+    seg_tau = tau_segment(media, vid, o, d, best_near, jnp.minimum(t_s, best_far))
+    tr = jnp.where(in_vol[..., None], jnp.exp(-seg_tau), 1.0)
+    pdf_scatter = jax.lax.stop_gradient(
+        sig_t * jnp.exp(-sig_t * (t_s - best_near)) * (dens / jnp.maximum(maj, 1e-9))
+    )
+    pdf_pass = jax.lax.stop_gradient(
+        jnp.exp(-sig_t * jnp.maximum(best_far - best_near, 0.0))
+    )
+    sigma_s_v = media.sigma_s[vid] * dens[..., None]
+    w_scatter = sigma_s_v * tr / jnp.maximum(pdf_scatter, 1e-12)[..., None]
+    w_pass = tr / jnp.maximum(pdf_pass, 1e-12)[..., None]
+    weight = jnp.where(scatter[..., None], w_scatter, w_pass)
+    weight = jnp.where(in_vol[..., None], weight, 1.0)
+    return sampler, t_s, scatter, weight, vid, p_s

@@ -164,13 +164,14 @@ def make_interaction(scene: Scene, o, d, hit) -> Interaction:
     )
 
 
-def gather_mat_params(scene: Scene, it: Interaction) -> bsdf_mod.MatParams:
+def gather_mat_params(scene: Scene, it: Interaction,
+                      tex_types=None) -> bsdf_mod.MatParams:
     """Gather per-lane material params + evaluate textures (SampleTextures)."""
     m = scene.materials
     mid = it.mat_id
-    albedo = tex_mod.eval_texture(scene.textures, m.tex_albedo[mid], it.uv)
-    spec = tex_mod.eval_texture(scene.textures, m.tex_specular[mid], it.uv)
-    trans = tex_mod.eval_texture(scene.textures, m.tex_transmittance[mid], it.uv)
+    albedo = tex_mod.eval_texture(scene.textures, m.tex_albedo[mid], it.uv, active=tex_types)
+    spec = tex_mod.eval_texture(scene.textures, m.tex_specular[mid], it.uv, active=tex_types)
+    trans = tex_mod.eval_texture(scene.textures, m.tex_transmittance[mid], it.uv, active=tex_types)
     return bsdf_mod.MatParams(
         bsdf_type=m.bsdf_type[mid],
         dist_type=m.dist_type[mid],

@@ -140,15 +140,24 @@ def cornell_box(
     )
 
 
-def furnace_scene(albedo=0.7, env_radiance=1.0, bsdf_type=B.DIFFUSE, **mat_kw):
+def furnace_scene(albedo=0.7, env_radiance=1.0, bsdf_type=B.DIFFUSE,
+                  specular=1.0, **mat_kw):
     """White-furnace test scene: a sphere in a constant environment.
 
     For a lossless BSDF the render must equal env_radiance everywhere
-    (SURVEY.md §4: furnace tests for every BSDF)."""
+    (SURVEY.md §4: furnace tests for every BSDF). `specular` scales the
+    specular texture separately (kd + ks <= 1 for energy conservation of
+    kd/ks mixture models like phong/ward)."""
     tris = sphere([0, 0, 0], 1.0, n_theta=24, n_phi=48)
     mat_id = np.zeros(len(tris), np.int32)
-    textures = Textures.build([{"type": 0, "color_a": [albedo] * 3}])
-    materials = Materials.build([{"bsdf_type": bsdf_type, "tex_albedo": 0, **mat_kw}])
+    textures = Textures.build([
+        {"type": 0, "color_a": [albedo] * 3},
+        {"type": 0, "color_a": [specular] * 3},
+    ])
+    materials = Materials.build([
+        {"bsdf_type": bsdf_type, "tex_albedo": 0, "tex_specular": 1,
+         "tex_transmittance": 1, **mat_kw}
+    ])
     light_records = [
         {"type": L.CONSTANT_ENV, "radiance": [env_radiance] * 3}
     ]

@@ -100,9 +100,14 @@ def _bilinear_atlas(atlas, layer, uv):
     return top * (1 - fy) + bot * fy
 
 
-def eval_texture(tex: Textures, tid, uv, bary=None):
-    """Evaluate texture `tid` (batched int32) at uv (..., 2). Returns (..., 3)."""
+def eval_texture(tex: Textures, tid, uv, bary=None, active=None):
+    """Evaluate texture `tid` (batched int32) at uv (..., 2). Returns (..., 3).
+
+    `active`: optional static tuple of texture types present — when only
+    CONSTANT textures exist this collapses to a single gather."""
     tid = jnp.clip(tid, 0, tex.ttype.shape[0] - 1)
+    if active is not None and set(active) <= {CONSTANT}:
+        return tex.color_a[tid]
     tt = tex.ttype[tid]
     ca = tex.color_a[tid]
     cb = tex.color_b[tid]

@@ -149,8 +149,10 @@ class TestFresnel:
         )
         F = np.asarray(F)
         assert F.min() >= 0 and F.max() <= 1.0 + 1e-6
-        # gold-ish: high reflectance at normal incidence
-        assert F[-1].mean() > 0.8
+        # normal-incidence closed form ((eta-1)^2+k^2)/((eta+1)^2+k^2) ~ (0.95,0.63,0.45)
+        np.testing.assert_allclose(
+            np.asarray(F[-1]), [0.952, 0.635, 0.449], atol=5e-3
+        )
 
 
 class TestMicrofacet:
@@ -212,7 +214,8 @@ class TestSpectrum:
     def test_rgbe_roundtrip(self):
         rgb = jnp.array([[1.0, 0.5, 0.25], [100.0, 50.0, 25.0], [1e-3, 2e-3, 0.5e-3], [0.0, 0.0, 0.0]])
         dec = spectrum.from_rgbe(spectrum.to_rgbe(rgb))
-        np.testing.assert_allclose(dec, rgb, rtol=1e-2, atol=1e-6)
+        # 8-bit shared-exponent mantissas: worst case ~2 quanta of the max channel
+        np.testing.assert_allclose(dec, rgb, rtol=5e-2, atol=1e-6)
 
     def test_rgbcol_roundtrip(self):
         rgb = jax.random.uniform(jax.random.PRNGKey(1), (100, 3))

@@ -39,6 +39,7 @@ class TestFurnace:
             (B.ROUGHPLASTIC, dict(alpha_u=0.3, alpha_v=0.3)),
             (B.PHONG, {}),
             (B.WARD, dict(alpha_u=0.3, alpha_v=0.3)),
+            (B.ROUGHDIELECTRIC, dict(alpha_u=0.1, alpha_v=0.1, dist_type=0)),
             (B.DIELECTRIC, {}),
             (B.ROUGHDIELECTRIC, dict(alpha_u=0.3, alpha_v=0.3)),
             (B.THINDIELECTRIC, {}),
@@ -48,7 +49,8 @@ class TestFurnace:
     )
     def test_energy_conservation(self, bt, kw):
         """No BSDF may gain energy in a unit furnace."""
-        scene = furnace_scene(albedo=0.8, bsdf_type=bt, **kw)
+        spec = 0.2 if bt in (B.PHONG, B.WARD) else 1.0  # kd + ks <= 1
+        scene = furnace_scene(albedo=0.8, bsdf_type=bt, specular=spec, **kw)
         img = np.asarray(render(scene, 32, 32, 16, 0, PTConfig(max_depth=8)))
         assert np.isfinite(img).all()
         assert img.mean() < 1.1, f"type {bt} gains energy: {img.mean()}"
