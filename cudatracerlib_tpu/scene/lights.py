@@ -418,7 +418,9 @@ def sample_emitter_ray(lights: Lights, lid, u_pos, u_dir):
     w_spot = (
         lights.radiance[lid]
         * fall[..., None]
-        / jnp.maximum(warp.square_to_uniform_cone_pdf(lights.spot_cos_width[lid]), 1e-12)
+        / jnp.maximum(
+            warp.square_to_uniform_cone_pdf(lights.spot_cos_width[lid]), 1e-12
+        )[..., None]
     )
 
     # distant: disk perpendicular to direction covering world sphere
@@ -445,7 +447,7 @@ def sample_emitter_ray(lights: Lights, lid, u_pos, u_dir):
     n_area = lights.tri_n[tri_id]
     f_area = Frame.from_normal(n_area)
     d_area = f_area.to_world(warp.square_to_cosine_hemisphere(u_dir))
-    w_area = lights.radiance[lid] * (PI * lights.area[lid])  # Le * A * pi (cos/pdf_dir = pi)
+    w_area = lights.radiance[lid] * (PI * lights.area[lid])[..., None]  # Le*A*pi
 
     # env: sample dir from map, origin on world-sphere disk facing -d
     d_env, pdf_env, rad_env = _sample_env(lights, lid, u_dir)
