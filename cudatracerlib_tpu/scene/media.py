@@ -200,6 +200,10 @@ def sample_distance(media: Media, o, d, t_min, t_max, sampler: Sampler):
 
     vid = jnp.maximum(best_vid, 0)
     in_vol = best_vid >= 0
+    # sanitize inf sentinels before they enter differentiable math (inf * 0
+    # becomes NaN in the backward pass even under where-masks)
+    best_near = jnp.where(in_vol, best_near, 0.0)
+    best_far = jnp.where(in_vol, best_far, 0.0)
 
     # channel-average sigma_t with majorant density for grids
     maj = jnp.where(
@@ -211,10 +215,16 @@ def sample_distance(media: Media, o, d, t_min, t_max, sampler: Sampler):
     sig_t = jnp.maximum(sig_t, 1e-6)
 
     sampler, u = sampler.next_1d()
-    t_cand = best_near - jnp.log(jnp.maximum(1.0 - u, 1e-12)) / sig_t
-    scatter = in_vol & (t_cand < best_far)
-    t_s = jnp.where(scatter, t_cand, t_max)
-    p_s = o + d * t_s[..., None]
+    # detached-sampling estimator: the sample position and decision are
+    # detached, densities/transmittances stay attached -> unbiased gradients
+    # for sigma/albedo without boundary terms (domain integrals have fixed
+    # limits; see BASELINE transmittance-gradient gate)
+    t_cand = jax.lax.stop_gradient(
+        best_near - jnp.log(jnp.maximum(1.0 - u, 1e-12)) / sig_t
+    )
+    scatter = in_vol & (t_cand < jax.lax.stop_gradient(best_far))
+    t_s = jnp.where(scatter, t_cand, jnp.minimum(jax.lax.stop_gradient(t_max), 1e7))
+    p_s = jax.lax.stop_gradient(o) + jax.lax.stop_gradient(d) * t_s[..., None]
 
     # real collision probability for grids (single rejection step approximation)
     dens = density_at(media, vid, p_s)
@@ -222,7 +232,10 @@ def sample_distance(media: Media, o, d, t_min, t_max, sampler: Sampler):
     real = u2 < (dens / jnp.maximum(maj, 1e-9))
     scatter = scatter & real
 
-    # weights (detached pdf — differentiable sigma via the Tr factor)
+    # weights — fully *attached* estimator: the sampled distance is a smooth
+    # reparameterized function of sigma (inverse-CDF), so keeping pdfs attached
+    # makes autodiff agree with finite differences of the fixed-noise
+    # estimator (the BASELINE transmittance-gradient gate)
     seg_tau = tau_segment(media, vid, o, d, best_near, jnp.minimum(t_s, best_far))
     tr = jnp.where(in_vol[..., None], jnp.exp(-seg_tau), 1.0)
     pdf_scatter = jax.lax.stop_gradient(

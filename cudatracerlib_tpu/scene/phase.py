@@ -26,7 +26,7 @@ def eval_phase(ptype, g, wo, wi):
     iso = jnp.full(cos_t.shape, INV_FOURPI)
 
     g2 = g * g
-    denom = 1.0 + g2 + 2.0 * g * cos_t
+    denom = 1.0 + g2 - 2.0 * g * cos_t
     hg = INV_FOURPI * (1.0 - g2) / jnp.maximum(denom * safe_sqrt(denom), 1e-8)
 
     ray = (3.0 / (16.0 * PI)) * (1.0 + cos_t * cos_t)
@@ -46,7 +46,7 @@ def pdf_phase(ptype, g, wo, wi):
     """Sampling pdf: HG samples exactly; others sample isotropically."""
     cos_t = dot(-wo, wi)
     g2 = g * g
-    denom = 1.0 + g2 + 2.0 * g * cos_t
+    denom = 1.0 + g2 - 2.0 * g * cos_t
     hg = INV_FOURPI * (1.0 - g2) / jnp.maximum(denom * safe_sqrt(denom), 1e-8)
     return jnp.where(ptype == HG, hg, jnp.full(cos_t.shape, INV_FOURPI))
 
@@ -56,7 +56,7 @@ def sample_phase(ptype, g, wo, u2) -> PhaseSample:
     # HG inverse-CDF cos theta
     safe_g = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
     sqr_term = (1.0 - safe_g * safe_g) / (1.0 + safe_g * (2.0 * u2[..., 0] - 1.0))
-    cos_hg = -(1.0 + safe_g * safe_g - sqr_term * sqr_term) / (2.0 * safe_g)
+    cos_hg = (1.0 + safe_g * safe_g - sqr_term * sqr_term) / (2.0 * safe_g)
     cos_iso = 1.0 - 2.0 * u2[..., 0]
     use_hg = (ptype == HG) & (jnp.abs(g) >= 1e-3)
     cos_t = jnp.where(use_hg, jnp.clip(cos_hg, -1.0, 1.0), cos_iso)

@@ -1,0 +1,216 @@
+"""Loader tests: OBJ, PLY, Mitsuba XML; image output; checkpointing; settings."""
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from cudatracerlib_tpu.io.obj import load_obj, obj_to_scene_arrays
+from cudatracerlib_tpu.io.ply import load_ply
+from cudatracerlib_tpu.utils.settings import Parameter, ParameterCollection
+
+
+class TestObj:
+    def test_load_and_materials(self, tmp_path):
+        mtl = tmp_path / "m.mtl"
+        mtl.write_text(textwrap.dedent("""
+            newmtl red
+            Kd 0.8 0.1 0.1
+            newmtl shiny
+            Kd 0.1 0.1 0.1
+            Ks 0.9 0.9 0.9
+            Ns 100
+        """))
+        obj = tmp_path / "t.obj"
+        obj.write_text(textwrap.dedent("""
+            mtllib m.mtl
+            v 0 0 0
+            v 1 0 0
+            v 1 1 0
+            v 0 1 0
+            vn 0 0 1
+            usemtl red
+            f 1//1 2//1 3//1 4//1
+            usemtl shiny
+            f 1//1 3//1 4//1
+        """))
+        mesh = load_obj(str(obj), cache=False)
+        assert mesh.vertices.shape == (3, 3, 3)  # quad fan = 2 tris + 1 tri
+        assert len(mesh.materials) == 2
+        v, n, uv, mid, mats, texs = obj_to_scene_arrays(mesh)
+        assert len(mats) == 2
+        assert mid.shape == (3,)
+        np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-5)
+
+    def test_cache_roundtrip(self, tmp_path):
+        obj = tmp_path / "c.obj"
+        obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+        m1 = load_obj(str(obj), cache=True)
+        assert os.path.exists(str(obj) + ".compiled.npz")
+        m2 = load_obj(str(obj), cache=True)
+        np.testing.assert_array_equal(m1.vertices, m2.vertices)
+
+
+class TestPly:
+    def test_ascii(self, tmp_path):
+        ply = tmp_path / "t.ply"
+        ply.write_text(textwrap.dedent("""\
+            ply
+            format ascii 1.0
+            element vertex 4
+            property float x
+            property float y
+            property float z
+            element face 2
+            property list uchar int vertex_indices
+            end_header
+            0 0 0
+            1 0 0
+            1 1 0
+            0 1 0
+            3 0 1 2
+            3 0 2 3
+        """))
+        v, n, uv = load_ply(str(ply))
+        assert v.shape == (2, 3, 3)
+        assert n is None
+
+    def test_binary(self, tmp_path):
+        import struct
+
+        header = textwrap.dedent("""\
+            ply
+            format binary_little_endian 1.0
+            element vertex 3
+            property float x
+            property float y
+            property float z
+            element face 1
+            property list uchar int vertex_indices
+            end_header
+        """).encode()
+        body = b"".join(struct.pack("<fff", *p) for p in [(0, 0, 0), (1, 0, 0), (0, 1, 0)])
+        body += struct.pack("<Biii", 3, 0, 1, 2)
+        (tmp_path / "b.ply").write_bytes(header + body)
+        v, n, uv = load_ply(str(tmp_path / "b.ply"))
+        assert v.shape == (1, 3, 3)
+        np.testing.assert_allclose(v[0, 1], [1, 0, 0])
+
+
+MITSUBA_XML = """<?xml version="1.0"?>
+<scene version="0.5.0">
+    <default name="spp" value="16"/>
+    <sensor type="perspective">
+        <float name="fov" value="40"/>
+        <transform name="toWorld">
+            <lookat origin="0,-4,1" target="0,0,1" up="0,0,1"/>
+        </transform>
+    </sensor>
+    <bsdf type="diffuse" id="white">
+        <rgb name="reflectance" value="0.7 0.7 0.7"/>
+    </bsdf>
+    <bsdf type="roughconductor" id="metal">
+        <string name="material" value="au"/>
+        <float name="alpha" value="0.1"/>
+        <string name="distribution" value="ggx"/>
+    </bsdf>
+    <shape type="rectangle">
+        <transform name="toWorld">
+            <scale value="3"/>
+        </transform>
+        <ref id="white"/>
+    </shape>
+    <shape type="sphere">
+        <float name="radius" value="0.5"/>
+        <transform name="toWorld">
+            <translate x="0" y="0" z="1"/>
+        </transform>
+        <ref id="metal"/>
+    </shape>
+    <shape type="rectangle">
+        <transform name="toWorld">
+            <rotate x="1" angle="180"/>
+            <translate x="0" y="0" z="2.5"/>
+        </transform>
+        <emitter type="area">
+            <rgb name="radiance" value="10 10 8"/>
+        </emitter>
+        <ref id="white"/>
+    </shape>
+    <emitter type="constant">
+        <rgb name="radiance" value="0.1 0.1 0.15"/>
+    </emitter>
+</scene>
+"""
+
+
+class TestMitsuba:
+    def test_parse_and_render(self, tmp_path):
+        from cudatracerlib_tpu.io.mitsuba import load_mitsuba
+        from cudatracerlib_tpu.render.path_tracer import PTConfig, render
+
+        xml = tmp_path / "scene.xml"
+        xml.write_text(MITSUBA_XML)
+        scene = load_mitsuba(str(xml))
+        assert scene.bvh.woop.shape[0] > 0
+        assert scene.n_lights == 2  # area + constant env
+        img = np.asarray(render(scene, 24, 24, 4, 0, PTConfig(max_depth=4)))
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.01
+        # gold-ish sphere: center pixels should be warm (r>b)
+        c = img[10:14, 10:14].mean(axis=(0, 1))
+        assert c[0] > c[2]
+
+    def test_bsdf_mapping(self, tmp_path):
+        from cudatracerlib_tpu.io.mitsuba import load_mitsuba
+        from cudatracerlib_tpu.scene import bsdf as B
+
+        xml = tmp_path / "s.xml"
+        xml.write_text(MITSUBA_XML)
+        scene = load_mitsuba(str(xml))
+        types = set(np.asarray(scene.materials.bsdf_type).tolist())
+        assert B.DIFFUSE in types
+        assert B.ROUGHCONDUCTOR in types
+
+
+class TestSettings:
+    def test_constraints(self):
+        p = Parameter("depth", 5, interval=(1, 64))
+        with pytest.raises(ValueError):
+            p.set(0)
+        p.set(10)
+        assert p.get() == 10
+
+    def test_enum_roundtrip(self):
+        p = Parameter("mode", "fast", enum={"fast": 0, "quality": 1})
+        assert p.get() == 0
+        assert p.as_string() == "fast"
+        with pytest.raises(ValueError):
+            p.set("bogus")
+
+    def test_hierarchy_and_overrides(self):
+        root = ParameterCollection("tracer")
+        root.add(Parameter("depth", 5, interval=(1, 64)))
+        child = root.add_child(ParameterCollection("sampler"))
+        child.add(Parameter("spp", 4, interval=(1, 4096)))
+        root.apply_overrides(["depth=8", "sampler.spp=64"])
+        assert root["depth"] == 8
+        assert root["sampler.spp"] == 64
+        d = root.to_dict()
+        assert d["sampler"]["spp"] == 64
+
+
+class TestCheckpoint:
+    def test_film_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+
+        from cudatracerlib_tpu.image.film import Film
+        from cudatracerlib_tpu.utils.checkpoint import load_pytree, save_pytree
+
+        film = Film.create(8, 8)
+        film = film._replace(rgb=film.rgb + 1.5, n_passes=jnp.float32(3))
+        path = str(tmp_path / "ckpt.npz")
+        save_pytree(path, film)
+        loaded = load_pytree(path, Film.create(8, 8))
+        np.testing.assert_allclose(np.asarray(loaded.rgb), 1.5)
+        assert float(loaded.n_passes) == 3
