@@ -79,13 +79,43 @@ def _leaf_code(first: int) -> int:
     return -(first + 1)
 
 
-def build_bvh(vertices: np.ndarray) -> BVH:
-    """Build a binned-SAH BVH over triangles given as (T, 3, 3) vertices."""
+def build_bvh(vertices: np.ndarray, use_native: bool = True,
+              with_host: bool = False):
+    """Build a binned-SAH BVH over triangles given as (T, 3, 3) vertices.
+
+    Uses the C++ builder (native/bvh_builder.cpp, the counterpart of the
+    reference's CPU SplitBVHBuilder) when the toolchain is available; the
+    numpy implementation below is the fallback/reference."""
     tris = np.asarray(vertices, dtype=np.float32)
     T = tris.shape[0]
     assert T > 0
     lo = tris.min(axis=1)  # (T,3)
     hi = tris.max(axis=1)
+
+    if use_native:
+        from ..native import build_bvh_native
+
+        res = build_bvh_native(tris, LEAF_SIZE, N_BINS, MAX_DEPTH)
+        if res is not None:
+            node_arr, order, root = res
+            woop = woop_transform(
+                tris[np.clip(order, 0, T - 1), 0],
+                tris[np.clip(order, 0, T - 1), 1],
+                tris[np.clip(order, 0, T - 1), 2],
+            )
+            bvh = BVH(
+                nodes=jnp.asarray(node_arr),
+                woop=jnp.asarray(woop),
+                tri_index=jnp.asarray(np.clip(order, 0, T - 1).astype(np.int32)),
+                root_code=jnp.asarray(np.int32(root)),
+                world_min=jnp.asarray(lo.min(axis=0)),
+                world_max=jnp.asarray(hi.max(axis=0)),
+            )
+            if with_host:
+                return bvh, {"nodes": node_arr, "woop": woop, "root": root,
+                             "order": np.clip(order, 0, T - 1).astype(np.int32)}
+            return bvh
+
     centroid = 0.5 * (lo + hi)
 
     order_out: list[np.ndarray] = []   # triangle ids in leaf order (padded)
@@ -212,7 +242,7 @@ def build_bvh(vertices: np.ndarray) -> BVH:
     woop = woop_transform(tris[order, 0], tris[order, 1], tris[order, 2])
     node_arr = np.stack(nodes).astype(np.float32)
 
-    return BVH(
+    bvh = BVH(
         nodes=jnp.asarray(node_arr),
         woop=jnp.asarray(woop),
         tri_index=jnp.asarray(order.astype(np.int32)),
@@ -220,3 +250,7 @@ def build_bvh(vertices: np.ndarray) -> BVH:
         world_min=jnp.asarray(lo.min(axis=0)),
         world_max=jnp.asarray(hi.max(axis=0)),
     )
+    if with_host:
+        return bvh, {"nodes": node_arr, "woop": woop, "root": root,
+                     "order": order.astype(np.int32)}
+    return bvh

@@ -32,6 +32,7 @@ from ..sampling.rng import Sampler
 from ..scene import bsdf as bsdf_mod
 from ..scene import lights as lights_mod
 from ..scene import sensors
+from ..scene import scene as scene_mod
 from ..scene.scene import Scene, gather_mat_params, make_interaction
 from .path_tracer import PTConfig, _light_select_pmf, _offset_ray, _select_light, specialize_config
 
@@ -114,7 +115,7 @@ def _trace_light_subpath(scene: Scene, B: int, seed, cfg: PTConfig, s_max: int):
               alive=jnp.ones((B,), bool), smp=smp)
 
     def step(c: _C, depth):
-        hit = traversal.intersect_auto(scene.bvh, c.o, c.d)
+        hit = scene_mod.scene_intersect(scene, c.o, c.d)
         it = make_interaction(scene, c.o, c.d, hit)
         found = hit.valid & c.alive
         mp = gather_mat_params(scene, it, cfg.tex_types)
@@ -196,7 +197,7 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
         mis = 1.0 / (w_light + 1.0)
 
         sh_o = _offset_ray(lv.p, it_l.n_geo, d_cam, cfg.ray_eps)
-        blocked = traversal.occluded(scene.bvh, sh_o, d_cam, cfg.ray_eps,
+        blocked = scene_mod.scene_occluded(scene, sh_o, d_cam, cfg.ray_eps,
                                      dist_cam - 2 * cfg.ray_eps)
         contrib = lv.thr * f_noc * (mis * cos_cam * cam_pdf_a / B /
                                     jnp.maximum(cos_cam, 1e-6))[..., None]
@@ -240,7 +241,7 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
     )
 
     def eye_step(c: _E, depth):
-        hit = traversal.intersect_auto(scene.bvh, c.o, c.d)
+        hit = scene_mod.scene_intersect(scene, c.o, c.d)
         it = make_interaction(scene, c.o, c.d, hit)
         found = hit.valid & c.alive
         mp = gather_mat_params(scene, it, cfg.tex_types)
@@ -279,7 +280,7 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
             f_l, pdf_b_fwd = bsdf_mod.eval_bsdf(mp, wo_local, wi_l, active=cfg.bsdf_types)
             _, pdf_b_rev = bsdf_mod.eval_bsdf(mp, wi_l, wo_local, active=cfg.bsdf_types)
             sh_o = _offset_ray(it.p, it.n_geo, ds.d, cfg.ray_eps)
-            blocked = traversal.occluded(scene.bvh, sh_o, ds.d, cfg.ray_eps,
+            blocked = scene_mod.scene_occluded(scene, sh_o, ds.d, cfg.ray_eps,
                                          ds.dist - 2 * cfg.ray_eps)
             is_delta_l = ds.measure == 2
             pdf_l_w = jnp.where(is_delta_l, 1.0, jax.lax.stop_gradient(ds.pdf)) * lpmf
@@ -329,8 +330,8 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
             mis2 = 1.0 / (w_light_m + 1.0 + w_cam_m)
 
             sh_o = _offset_ray(it.p, it.n_geo, dir_c, cfg.ray_eps)
-            blocked = traversal.occluded(
-                scene.bvh, sh_o, dir_c, cfg.ray_eps,
+            blocked = scene_mod.scene_occluded(
+                scene, sh_o, dir_c, cfg.ray_eps,
                 jnp.sqrt(dist2_c) - 2 * cfg.ray_eps,
             )
             contrib = c.w * f_e_raw * f_lv_raw * lv.thr * (G * mis2)[..., None]

@@ -21,6 +21,7 @@ from ..sampling.rng import Sampler
 from ..scene import bsdf as bsdf_mod
 from ..scene import lights as lights_mod
 from ..scene import sensors
+from ..scene import scene as scene_mod
 from ..scene.scene import Scene, gather_mat_params, make_interaction
 from .path_tracer import PTConfig, _offset_ray, _select_light, specialize_config
 
@@ -57,7 +58,7 @@ def _lt_impl(scene: Scene, width: int, height: int, n_paths: int, seed,
     init = _C(o=o, d=d, w=w, alive=jnp.ones((B,), bool), smp=smp)
 
     def bounce(c: _C, depth):
-        hit = traversal.intersect_auto(scene.bvh, c.o, c.d)
+        hit = scene_mod.scene_intersect(scene, c.o, c.d)
         it = make_interaction(scene, c.o, c.d, hit)
         found = hit.valid & c.alive
         mp = gather_mat_params(scene, it, config.tex_types)
@@ -72,7 +73,7 @@ def _lt_impl(scene: Scene, width: int, height: int, n_paths: int, seed,
         f_cam, _ = bsdf_mod.eval_bsdf(mp, wo_local, wi_local,
                                       active=config.bsdf_types)
         sh_o = _offset_ray(it.p, it.n_geo, d_cam, config.ray_eps)
-        blocked = traversal.occluded(scene.bvh, sh_o, d_cam, config.ray_eps,
+        blocked = scene_mod.scene_occluded(scene, sh_o, d_cam, config.ray_eps,
                                      dist_cam - 2.0 * config.ray_eps)
         # importance is defined per unit film area; distance^2 converts the
         # surface measure (pinhole W_e, Sensor.h:527 interface)

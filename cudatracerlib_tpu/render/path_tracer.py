@@ -24,7 +24,9 @@ from ..sampling.rng import Sampler
 from ..scene import bsdf as bsdf_mod
 from ..scene import lights as lights_mod
 from ..scene import sensors
-from ..scene.scene import Scene, gather_mat_params, make_interaction
+from ..scene import scene as scene_mod
+from ..scene.scene import (Scene, gather_mat_params, gather_nested_params,
+                           make_interaction)
 
 RAY_EPS = 1e-3
 
@@ -50,6 +52,10 @@ def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
 
     used_mats = np.unique(np.asarray(scene.shading.mat_id))
     mats = scene.materials
+    # include materials nested inside coating/blend (one level)
+    used_mats = np.unique(np.concatenate(
+        [used_mats, np.asarray(mats.nested_id)[used_mats]]
+    ))
     bsdf_types = tuple(sorted(int(x) for x in np.unique(np.asarray(mats.bsdf_type)[used_mats])))
     light_types = tuple(sorted(int(x) for x in np.unique(np.asarray(scene.lights.ltype))))
     tex_ids = np.unique(np.concatenate([
@@ -113,10 +119,14 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
     lt = config.light_types
     has_env_static = lt is None or (lights_mod.INFINITE in lt) or (lights_mod.CONSTANT_ENV in lt)
     has_area_static = lt is None or (lights_mod.AREA_LIGHT in lt)
+    bt = config.bsdf_types
+    has_nested = bt is None or any(
+        x in bt for x in (bsdf_mod.COATING, bsdf_mod.ROUGHCOATING, bsdf_mod.BLEND)
+    )
 
     def bounce(carry: _Carry, depth):
         s = carry.sampler
-        hit = traversal.intersect_auto(scene.bvh, carry.o, carry.d)
+        hit = scene_mod.scene_intersect(scene, carry.o, carry.d)
         it = make_interaction(scene, carry.o, carry.d, hit)
         found = hit.valid & carry.active
         L = carry.L
@@ -166,12 +176,17 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
             ds, Lrad = lights_mod.sample_direct(scene.lights, lsel, it.p, u_l2,
                                                 active=config.light_types)
             wi_l_local = it.frame.to_local(ds.d)
-            f_l, pdf_b_l = bsdf_mod.eval_bsdf(mp, wo_local, wi_l_local,
-                                              active=config.bsdf_types)
+            if has_nested:
+                mp_in = gather_nested_params(scene, it, config.tex_types)
+                f_l, pdf_b_l = bsdf_mod.eval_bsdf_nested(
+                    mp, mp_in, wo_local, wi_l_local, active=config.bsdf_types)
+            else:
+                f_l, pdf_b_l = bsdf_mod.eval_bsdf(mp, wo_local, wi_l_local,
+                                                  active=config.bsdf_types)
             # occlusion
             sh_o = _offset_ray(it.p, it.n_geo, ds.d, config.ray_eps)
-            blocked = traversal.occluded(
-                scene.bvh, sh_o, ds.d, t_min=config.ray_eps,
+            blocked = scene_mod.scene_occluded(
+                scene, sh_o, ds.d, t_min=config.ray_eps,
                 t_max=ds.dist - 2.0 * config.ray_eps,
             )
             is_delta_l = ds.measure == 2  # DISCRETE
@@ -192,8 +207,13 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
         # ---- BSDF sampling ----
         s, u_b2 = s.next_2d()
         s, u_b1 = s.next_1d()
-        bs = bsdf_mod.sample_bsdf(mp, wo_local, u_b2, u_b1,
-                                  active=config.bsdf_types)
+        if has_nested:
+            mp_in2 = gather_nested_params(scene, it, config.tex_types)
+            bs = bsdf_mod.sample_bsdf_nested(mp, mp_in2, wo_local, u_b2, u_b1,
+                                             active=config.bsdf_types)
+        else:
+            bs = bsdf_mod.sample_bsdf(mp, wo_local, u_b2, u_b1,
+                                      active=config.bsdf_types)
         wi_world = it.frame.to_world(bs.wi)
         new_o = _offset_ray(it.p, it.n_geo, wi_world, config.ray_eps)
         throughput = carry.throughput * bs.weight

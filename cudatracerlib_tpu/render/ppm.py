@@ -31,6 +31,7 @@ from ..sampling.rng import Sampler
 from ..scene import bsdf as bsdf_mod
 from ..scene import lights as lights_mod
 from ..scene import sensors
+from ..scene import scene as scene_mod
 from ..scene.scene import Scene, gather_mat_params, make_interaction
 from .path_tracer import PTConfig, _light_select_pmf, _offset_ray, _select_light, specialize_config
 
@@ -66,7 +67,7 @@ def trace_photons(scene: Scene, n_photons: int, seed, config: PTConfig) -> Photo
     init = _C(o=o, d=d, w=w, alive=jnp.ones((B,), bool), smp=smp)
 
     def bounce(c: _C, depth):
-        hit = traversal.intersect_auto(scene.bvh, c.o, c.d)
+        hit = scene_mod.scene_intersect(scene, c.o, c.d)
         it = make_interaction(scene, c.o, c.d, hit)
         found = hit.valid & c.alive
         mp = gather_mat_params(scene, it, config.tex_types)
@@ -198,7 +199,7 @@ def _ppm_impl(scene: Scene, width: int, height: int, spp: int, seed, radius,
     def eye_bounce(c: _E, depth):
         """Walk through specular surfaces to the first smooth vertex
         (PPPMTracer_EyePass camera walk, <=5 specular bounces)."""
-        hit = traversal.intersect_auto(scene.bvh, c.o, c.d)
+        hit = scene_mod.scene_intersect(scene, c.o, c.d)
         it = make_interaction(scene, c.o, c.d, hit)
         found = hit.valid & c.alive
         mp = gather_mat_params(scene, it, cfg.tex_types)
@@ -261,7 +262,7 @@ def _ppm_impl(scene: Scene, width: int, height: int, spp: int, seed, radius,
             active=cfg.bsdf_types,
         )
         sh_o = _offset_ray(final.gp, final.gn, ds.d, cfg.ray_eps)
-        blocked = traversal.occluded(scene.bvh, sh_o, ds.d, cfg.ray_eps,
+        blocked = scene_mod.scene_occluded(scene, sh_o, ds.d, cfg.ray_eps,
                                      ds.dist - 2 * cfg.ray_eps)
         pdf_l = jnp.where(ds.measure == 2, 1.0, jax.lax.stop_gradient(ds.pdf)) * lpmf
         ok = final.gathered & ~blocked & (ds.pdf > 0) & (lpmf > 0)

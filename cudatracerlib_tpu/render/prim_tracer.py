@@ -18,6 +18,7 @@ from ..sampling.rng import Sampler
 from ..scene import bsdf as bsdf_mod
 from ..scene import lights as lights_mod
 from ..scene import sensors
+from ..scene import scene as scene_mod
 from ..scene.scene import Scene, gather_mat_params, make_interaction
 
 
@@ -66,7 +67,7 @@ def render_aovs(scene: Scene, width: int, height: int, seed=0):
         sh_o = it.p + it.n_geo * jnp.sign(
             jnp.sum(it.n_geo * ds.d, -1, keepdims=True)
         ) * 1e-3
-        blocked = traversal.occluded(scene.bvh, sh_o, ds.d, 1e-3, ds.dist - 2e-3)
+        blocked = scene_mod.scene_occluded(scene, sh_o, ds.d, 1e-3, ds.dist - 2e-3)
         pdf = jnp.where(ds.measure == 2, 1.0, ds.pdf) * lpmf
         direct = f_l * Lrad / jnp.maximum(pdf, 1e-12)[..., None]
         direct = jnp.where((it.valid & ~blocked & (pdf > 0))[..., None], direct, 0.0)

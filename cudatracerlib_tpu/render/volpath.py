@@ -24,6 +24,7 @@ from ..scene import lights as lights_mod
 from ..scene import media as media_mod
 from ..scene import phase as phase_mod
 from ..scene import sensors
+from ..scene import scene as scene_mod
 from ..scene.scene import Scene, gather_mat_params, make_interaction
 from .path_tracer import PTConfig, _light_select_pmf, _offset_ray, _select_light
 
@@ -54,7 +55,7 @@ def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
 
     def bounce(carry: _VCarry, depth):
         s = carry.sampler
-        hit = traversal.intersect_auto(scene.bvh, carry.o, carry.d)
+        hit = scene_mod.scene_intersect(scene, carry.o, carry.d)
         it = make_interaction(scene, carry.o, carry.d, hit)
         found = hit.valid & carry.active
         t_surf = jnp.where(hit.valid, hit.t, 1e8)
@@ -116,8 +117,8 @@ def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
                 medium_event[..., None], nee_p,
                 _offset_ray(it.p, it.n_geo, ds.d, config.ray_eps),
             )
-            blocked = traversal.occluded(
-                scene.bvh, sh_o, ds.d, config.ray_eps, ds.dist - 2.0 * config.ray_eps
+            blocked = scene_mod.scene_occluded(
+                scene, sh_o, ds.d, config.ray_eps, ds.dist - 2.0 * config.ray_eps
             )
             tr_shadow = media_mod.transmittance(
                 media, sh_o, ds.d, config.ray_eps, ds.dist - 2.0 * config.ray_eps

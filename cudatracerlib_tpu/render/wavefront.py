@@ -34,6 +34,7 @@ from ..sampling.rng import Sampler, hash_combine
 from ..scene import bsdf as bsdf_mod
 from ..scene import lights as lights_mod
 from ..scene import sensors
+from ..scene import scene as scene_mod
 from ..scene.scene import Scene, gather_mat_params, make_interaction
 from .path_tracer import (
     PTConfig,
@@ -149,7 +150,7 @@ def _wavefront_impl(scene: Scene, width: int, height: int, spp: int, seed,
         p = pool
 
         # ---- intersect all lanes ----
-        hit = traversal.intersect_auto(scene.bvh, p.o, p.d)
+        hit = scene_mod.scene_intersect(scene, p.o, p.d)
         it = make_interaction(scene, p.o, p.d, hit)
         found = hit.valid & p.alive
         L = p.L
@@ -191,7 +192,7 @@ def _wavefront_impl(scene: Scene, width: int, height: int, spp: int, seed,
             f_l, pdf_b_l = bsdf_mod.eval_bsdf(mp, wo_local, it.frame.to_local(ds.d),
                                               active=config.bsdf_types)
             sh_o = _offset_ray(it.p, it.n_geo, ds.d, config.ray_eps)
-            blocked = traversal.occluded(scene.bvh, sh_o, ds.d, config.ray_eps,
+            blocked = scene_mod.scene_occluded(scene, sh_o, ds.d, config.ray_eps,
                                          ds.dist - 2.0 * config.ray_eps)
             is_delta_l = ds.measure == 2
             pdf_l = jnp.where(is_delta_l, 1.0, jax.lax.stop_gradient(ds.pdf)) * lpmf

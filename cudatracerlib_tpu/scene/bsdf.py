@@ -66,10 +66,11 @@ ROUGHPLASTIC = 8
 PHONG = 9
 WARD = 10
 COATING = 11
-BLEND = 12
-NULL_BSDF = 13
+ROUGHCOATING = 12
+BLEND = 13
+NULL_BSDF = 14
 
-N_BSDF_TYPES = 14
+N_BSDF_TYPES = 15
 
 # Types that are "opaque two-sided": shade in the upper hemisphere by flipping.
 _TWO_SIDED = (DIFFUSE, ROUGHDIFFUSE, CONDUCTOR, ROUGHCONDUCTOR, PLASTIC,
@@ -91,6 +92,7 @@ class MatParams(NamedTuple):
     alpha_v: jnp.ndarray      # (...,)
     exponent: jnp.ndarray     # (...,) phong exponent
     nonlinear: jnp.ndarray    # (...,) plastic nonlinear flag (0/1 float)
+    blend_weight: jnp.ndarray # (...,) blend factor for BLEND (0 = nested only)
 
     @staticmethod
     def default(batch_shape=()):
@@ -109,6 +111,7 @@ class MatParams(NamedTuple):
             alpha_v=z + 0.1,
             exponent=z + 30.0,
             nonlinear=z,
+            blend_weight=z + 0.5,
         )
 
 
@@ -637,3 +640,109 @@ def is_delta(mp: MatParams):
 
 def is_smooth(mp: MatParams):
     return ~is_delta(mp)
+
+
+# --------------------------------------------------------------------------
+# Nested BSDFs: coating / roughcoating / blend (reference BSDF_Complex.h:9-166,
+# the BSDFFirst -> BSDFALL nesting split). One nesting level: the nested model
+# must be a non-nested type. Coating uses the thin-layer approximation
+# (Fresnel-weighted specular lobe over the attenuated inner BSDF; refraction
+# bending inside the coating is neglected).
+# --------------------------------------------------------------------------
+
+def eval_bsdf_nested(mp: MatParams, mp_inner: MatParams, wo, wi, active=None):
+    """eval for scenes containing coating/blend: mp_inner holds the nested
+    material parameters per lane (same pytree structure)."""
+    f0, p0 = eval_bsdf(mp, wo, wi, active)
+    fi, pi_ = eval_bsdf(mp_inner, wo, wi, active)
+
+    t = mp.bsdf_type
+    is_coat = (t == COATING) | (t == ROUGHCOATING)
+    is_blend = t == BLEND
+
+    # coating: specular layer handled by sampling (delta/glossy); transmitted
+    # part = (1-F(wo))(1-F(wi)) * inner
+    F_o, _, _, _ = fres.fresnel_dielectric(jnp.abs(fr.cos_theta(wo)), mp.eta)
+    F_i, _, _, _ = fres.fresnel_dielectric(jnp.abs(fr.cos_theta(wi)), mp.eta)
+    trans = (1.0 - F_o) * (1.0 - F_i)
+    # rough coating adds a microfacet specular lobe evaluated here
+    mp_spec = mp._replace(bsdf_type=jnp.full(jnp.shape(t), ROUGHCONDUCTOR, jnp.int32),
+                          cond_eta=jnp.ones_like(mp.cond_eta) * 1e6,
+                          cond_k=jnp.zeros_like(mp.cond_k))
+    f_spec, p_spec = _roughconductor_f_pdf(mp_spec, _mulz(wo, _flip_sign(mp, wo)),
+                                           _mulz(wi, _flip_sign(mp, wo)))
+    f_coat = trans[..., None] * fi + jnp.where(
+        (t == ROUGHCOATING)[..., None], f_spec * F_o[..., None], 0.0
+    )
+    p_coat = (1.0 - F_o) * pi_ + jnp.where(t == ROUGHCOATING, F_o * p_spec, 0.0)
+
+    w = jnp.clip(mp.blend_weight, 0.0, 1.0)
+    f_blend = w[..., None] * f0_self(mp, wo, wi, active) + (1 - w)[..., None] * fi
+    p_blend = w * pdf_self(mp, wo, wi, active) + (1 - w) * pi_
+
+    f = jnp.where(is_coat[..., None], f_coat, f0)
+    f = jnp.where(is_blend[..., None], f_blend, f)
+    p = jnp.where(is_coat, p_coat, p0)
+    p = jnp.where(is_blend, p_blend, p)
+    return f, p
+
+
+def f0_self(mp, wo, wi, active):
+    """Blend component B: the material's own fields interpreted as a simple
+    model chosen by dist_type (diffuse when alpha ~ 1, else roughconductor)."""
+    mp_b = mp._replace(bsdf_type=jnp.full(jnp.shape(mp.bsdf_type), DIFFUSE, jnp.int32))
+    f, _ = eval_bsdf(mp_b, wo, wi, (DIFFUSE,))
+    return f
+
+
+def pdf_self(mp, wo, wi, active):
+    mp_b = mp._replace(bsdf_type=jnp.full(jnp.shape(mp.bsdf_type), DIFFUSE, jnp.int32))
+    _, p = eval_bsdf(mp_b, wo, wi, (DIFFUSE,))
+    return p
+
+
+def sample_bsdf_nested(mp: MatParams, mp_inner: MatParams, wo, u2, u1,
+                       active=None) -> BSDFSample:
+    """sample for scenes containing nested BSDFs."""
+    bs0 = sample_bsdf(mp, wo, u2, u1, active)
+    bsi = sample_bsdf(mp_inner, wo, u2, u1, active)
+
+    t = mp.bsdf_type
+    is_coat = (t == COATING) | (t == ROUGHCOATING)
+    is_blend = t == BLEND
+
+    s = _flip_sign(mp, wo)
+    wo_l = _mulz(wo, s)
+    F_o, _, _, _ = fres.fresnel_dielectric(jnp.abs(fr.cos_theta(wo_l)), mp.eta)
+
+    # coating: choose specular reflection w.p. F_o else inner sample attenuated
+    pick_spec = u1 < F_o
+    wi_spec = _mulz(jnp.stack([-wo_l[..., 0], -wo_l[..., 1], wo_l[..., 2]], -1), s)
+    F_i, _, _, _ = fres.fresnel_dielectric(jnp.abs(fr.cos_theta(bsi.wi)), mp.eta)
+    w_inner = bsi.weight * ((1.0 - F_i))[..., None]  # (1-F_o)/(1-F_o) cancels
+    wi_coat = jnp.where(pick_spec[..., None], wi_spec, bsi.wi)
+    wt_coat = jnp.where(pick_spec[..., None], mp.specular, w_inner)
+    pdf_coat = jnp.where(pick_spec, F_o, (1.0 - F_o) * bsi.pdf)
+    st_coat = jnp.where(pick_spec, E_DELTA_REFLECTION, bsi.sampled_type)
+
+    # blend: pick component by weight
+    w = jnp.clip(mp.blend_weight, 0.0, 1.0)
+    pick_a = u1 < w
+    mp_b = mp._replace(bsdf_type=jnp.full(jnp.shape(mp.bsdf_type), DIFFUSE, jnp.int32))
+    bsa = sample_bsdf(mp_b, wo, u2, jnp.zeros_like(u1), (DIFFUSE,))
+    wi_blend = jnp.where(pick_a[..., None], bsa.wi, bsi.wi)
+    f_bl, p_bl = eval_bsdf_nested(mp, mp_inner, wo, wi_blend, active)
+    wt_blend = f_bl / jnp.maximum(_sg(p_bl), 1e-12)[..., None]
+    st_blend = jnp.where(pick_a, bsa.sampled_type, bsi.sampled_type)
+
+    wi = jnp.where(is_coat[..., None], wi_coat, bs0.wi)
+    wi = jnp.where(is_blend[..., None], wi_blend, wi)
+    weight = jnp.where(is_coat[..., None], wt_coat, bs0.weight)
+    weight = jnp.where(is_blend[..., None], wt_blend, weight)
+    pdf = jnp.where(is_coat, pdf_coat, bs0.pdf)
+    pdf = jnp.where(is_blend, p_bl, pdf)
+    stype = jnp.where(is_coat, st_coat, bs0.sampled_type)
+    stype = jnp.where(is_blend, st_blend, stype)
+    eta = jnp.where(is_coat | is_blend, bsi.eta, bs0.eta)
+    return BSDFSample(wi=wi, weight=weight, pdf=pdf,
+                      sampled_type=stype.astype(jnp.int32), eta=eta)

@@ -19,7 +19,9 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from ..accel import traversal as traversal_mod
 from ..accel.bvh import BVH, build_bvh
+from ..accel.clusters import ClusterScene, build_clusters
 from ..math import frame as fr
 from ..math.frame import Frame
 from ..math.vecmath import dot, normalize, safe_sqrt
@@ -48,6 +50,8 @@ class Materials(NamedTuple):
     nonlinear: jnp.ndarray   # (M,)
     emission: jnp.ndarray    # (M, 3) — area-light materials carry Le
     light_id: jnp.ndarray    # (M,) int32 — light index if emissive else -1
+    nested_id: jnp.ndarray   # (M,) int32 — inner material for coating/blend
+    blend_weight: jnp.ndarray  # (M,)
 
     @staticmethod
     def build(records: list[dict]) -> "Materials":
@@ -67,6 +71,8 @@ class Materials(NamedTuple):
             nonlinear=np.zeros(m, np.float32),
             emission=np.zeros((m, 3), np.float32),
             light_id=np.full(m, -1, np.int32),
+            nested_id=np.zeros(m, np.int32),
+            blend_weight=np.full(m, 0.5, np.float32),
         )
         for i, r in enumerate(records):
             for k, v in r.items():
@@ -93,10 +99,34 @@ class Scene(NamedTuple):
     light_cdf: jnp.ndarray   # (NL,) normalized power CDF for light selection
     camera: Camera
     env_light_id: jnp.ndarray  # () int32, -1 if no environment light
+    clusters: ClusterScene | None = None  # stream-traversal decomposition (big scenes)
 
     @property
     def n_lights(self) -> int:
         return self.lights.count
+
+
+# Triangle-count threshold above which the cluster stream tracer is used on
+# accelerator backends (below it the dense Pallas kernel wins).
+CLUSTER_MIN_TRIS = 16384
+
+
+def scene_intersect(scene: "Scene", o, d, t_min=1e-4, t_max=jnp.inf,
+                    any_hit: bool = False):
+    """Backend/size-dispatched closest-hit (the scene-level traceRay)."""
+    import jax
+
+    platform = jax.devices()[0].platform
+    if scene.clusters is not None and platform not in ("cpu",):
+        from ..ops.cluster_trace import intersect_clusters
+
+        raw = intersect_clusters(scene.clusters, o, d, t_min, t_max, any_hit=any_hit)
+        return traversal_mod.refine_hit(scene.bvh, o, d, raw)
+    return traversal_mod.intersect_auto(scene.bvh, o, d, t_min, t_max, any_hit=any_hit)
+
+
+def scene_occluded(scene: "Scene", o, d, t_min=1e-4, t_max=jnp.inf):
+    return scene_intersect(scene, o, d, t_min, t_max, any_hit=True).valid
 
 
 class Interaction(NamedTuple):
@@ -185,7 +215,16 @@ def gather_mat_params(scene: Scene, it: Interaction,
         alpha_v=m.alpha_v[mid],
         exponent=m.exponent[mid],
         nonlinear=m.nonlinear[mid],
+        blend_weight=m.blend_weight[mid],
     )
+
+
+def gather_nested_params(scene: Scene, it: Interaction,
+                         tex_types=None) -> bsdf_mod.MatParams:
+    """MatParams of the *inner* material for coating/blend lanes
+    (reference BSDF_Complex nesting, one level)."""
+    inner = it._replace(mat_id=scene.materials.nested_id[it.mat_id])
+    return gather_mat_params(scene, inner, tex_types)
 
 
 def build_scene(
@@ -216,8 +255,11 @@ def build_scene(
         uvs[:, 2, 1] = 1.0
     mat_id = np.asarray(mat_id, np.int32)
 
-    bvh = build_bvh(vertices)
-    order = np.asarray(bvh.tri_index)
+    bvh, host = build_bvh(vertices, with_host=True)
+    clusters = None
+    if vertices.shape[0] >= CLUSTER_MIN_TRIS:
+        clusters = build_clusters(bvh, host=host)
+    order = host["order"]
     shading = ShadingData(
         verts=jnp.asarray(vertices[order]),
         normals=jnp.asarray(np.asarray(normals, np.float32)[order]),
@@ -249,4 +291,5 @@ def build_scene(
         light_cdf=cdf,
         camera=camera,
         env_light_id=jnp.asarray(np.int32(env_id)),
+        clusters=clusters,
     )
