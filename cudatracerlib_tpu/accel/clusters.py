@@ -19,7 +19,7 @@ import numpy as np
 
 from .bvh import BVH, LEAF_SIZE
 
-CLUSTER_TRIS = 64    # padded triangles per cluster
+CLUSTER_TRIS = 128   # padded triangles per cluster (lane-tile aligned)
 SUPER_WAY = 64       # clusters per super
 
 

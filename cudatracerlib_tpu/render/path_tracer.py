@@ -262,11 +262,30 @@ def render(scene: Scene, width: int, height: int, spp: int, seed,
     return _render_impl(scene, width, height, spp, seed, config)
 
 
+def block_order_pixels(width: int, height: int, block: int = 32):
+    """Pixel ids in block-major order: consecutive rays form compact screen
+    tiles, which is what makes the cluster-trace kernel's any-lane pruning
+    effective (coherent tiles touch few clusters). Film scatter handles the
+    permutation for free."""
+    import numpy as np
+
+    bw = (width + block - 1) // block
+    bh = (height + block - 1) // block
+    ids = []
+    for by in range(bh):
+        for bx in range(bw):
+            ys = np.arange(by * block, min((by + 1) * block, height))
+            xs = np.arange(bx * block, min((bx + 1) * block, width))
+            Y, X = np.meshgrid(ys, xs, indexing="ij")
+            ids.append((Y * width + X).reshape(-1))
+    return jnp.asarray(np.concatenate(ids).astype(np.uint32))
+
+
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
 def _render_impl(scene: Scene, width: int, height: int, spp: int, seed,
                  config: PTConfig):
     n_px = width * height
-    pixel_id = jnp.tile(jnp.arange(n_px, dtype=jnp.uint32), spp)
+    pixel_id = jnp.tile(block_order_pixels(width, height), spp)
     sample_idx = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n_px)
     sampler = Sampler.create(seed, pixel_id, sample_idx)
 

@@ -91,9 +91,10 @@ def build_big_scene(n_tris_target: int = 1_000_000, seed: int = 0,
         {"bsdf_type": B.ROUGHCONDUCTOR, "tex_albedo": 2, "alpha_u": 0.15, "alpha_v": 0.15},
     ])
     if light == "area":
+        # wound so the normal points down toward the scene
         lt = np.asarray(
-            [[[-3, -3, 14], [3, -3, 14], [3, 3, 14]],
-             [[-3, -3, 14], [3, 3, 14], [-3, 3, 14]]], np.float32
+            [[[-3, -3, 14], [3, 3, 14], [3, -3, 14]],
+             [[-3, -3, 14], [-3, 3, 14], [3, 3, 14]]], np.float32
         )
         light_records = [{"type": L.AREA_LIGHT, "radiance": [40.0, 38.0, 30.0], "tris": lt}]
     else:
