@@ -42,6 +42,7 @@ class PTConfig(NamedTuple):
     bsdf_types: tuple | None = None
     light_types: tuple | None = None
     tex_types: tuple | None = None
+    flat_shading: bool = False  # normals==face normals and default UV chart
 
 
 def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
@@ -64,8 +65,18 @@ def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
         np.asarray(mats.tex_transmittance)[used_mats],
     ]))
     tex_types = tuple(sorted(int(x) for x in np.unique(np.asarray(scene.textures.ttype)[tex_ids])))
+    sh = scene.shading
+    nrm = np.asarray(sh.normals)
+    uvs_np = np.asarray(sh.uvs)
+    flat = bool(
+        np.allclose(nrm, np.asarray(sh.n_face)[:, None, :], atol=1e-5)
+        and np.allclose(uvs_np[:, 0], 0.0)
+        and np.allclose(uvs_np[:, 1], [1.0, 0.0])
+        and np.allclose(uvs_np[:, 2], [0.0, 1.0])
+    )
     return config._replace(
-        bsdf_types=bsdf_types, light_types=light_types, tex_types=tex_types
+        bsdf_types=bsdf_types, light_types=light_types, tex_types=tex_types,
+        flat_shading=flat,
     )
 
 
@@ -127,7 +138,8 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
     def bounce(carry: _Carry, depth):
         s = carry.sampler
         hit = scene_mod.scene_intersect(scene, carry.o, carry.d)
-        it = make_interaction(scene, carry.o, carry.d, hit)
+        it = make_interaction(scene, carry.o, carry.d, hit,
+                              flat=config.flat_shading)
         found = hit.valid & carry.active
         L = carry.L
 
@@ -262,6 +274,21 @@ def render(scene: Scene, width: int, height: int, spp: int, seed,
     return _render_impl(scene, width, height, spp, seed, config)
 
 
+def block_order_pixels_np(width: int, height: int, block: int = 32):
+    import numpy as np
+
+    bw = (width + block - 1) // block
+    bh = (height + block - 1) // block
+    ids = []
+    for by in range(bh):
+        for bx in range(bw):
+            ys = np.arange(by * block, min((by + 1) * block, height))
+            xs = np.arange(bx * block, min((bx + 1) * block, width))
+            Y, X = np.meshgrid(ys, xs, indexing="ij")
+            ids.append((Y * width + X).reshape(-1))
+    return np.concatenate(ids).astype(np.uint32)
+
+
 def block_order_pixels(width: int, height: int, block: int = 32):
     """Pixel ids in block-major order: consecutive rays form compact screen
     tiles, which is what makes the cluster-trace kernel's any-lane pruning
@@ -284,8 +311,12 @@ def block_order_pixels(width: int, height: int, block: int = 32):
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
 def _render_impl(scene: Scene, width: int, height: int, spp: int, seed,
                  config: PTConfig):
+    import numpy as np
+
     n_px = width * height
-    pixel_id = jnp.tile(block_order_pixels(width, height), spp)
+    block_perm_np = block_order_pixels_np(width, height)
+    block_perm = jnp.asarray(block_perm_np)
+    pixel_id = jnp.tile(block_perm, spp)
     sample_idx = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n_px)
     sampler = Sampler.create(seed, pixel_id, sample_idx)
 
@@ -299,11 +330,14 @@ def _render_impl(scene: Scene, width: int, height: int, spp: int, seed,
     o, d, w_cam = sensors.sample_ray(scene.camera, film_uv, u_ap)
 
     L, _ = trace_radiance(scene, o, d, sampler, config)
-    L = L * w_cam
+    L = jnp.nan_to_num(L * w_cam, nan=0.0, posinf=0.0, neginf=0.0)
 
-    film = film_mod.Film.create(height, width)
-    film = film_mod.add_samples(film, pixel_id.astype(jnp.int32), L)
-    return film_mod.develop(film)
+    # the sample->pixel map is a fixed permutation repeated spp times, so the
+    # film "scatter" is a reshape-sum + static inverse-permutation gather
+    # (deterministic, and much faster than a 1M-way scatter-add)
+    slot_sum = L.reshape(spp, n_px, 3).sum(0) / spp
+    inv_perm = jnp.asarray(np.argsort(block_perm_np).astype(np.int32))
+    return slot_sum[inv_perm].reshape(height, width, 3)
 
 
 def render_pass_fn(scene: Scene, width: int, height: int, spp: int,

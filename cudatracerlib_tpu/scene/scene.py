@@ -88,6 +88,7 @@ class ShadingData(NamedTuple):
     normals: jnp.ndarray   # (T, 3, 3) vertex shading normals
     uvs: jnp.ndarray       # (T, 3, 2)
     mat_id: jnp.ndarray    # (T,) int32
+    n_face: jnp.ndarray    # (T, 3) unit geometric normals (precomputed)
 
 
 class Scene(NamedTuple):
@@ -143,9 +144,25 @@ class Interaction(NamedTuple):
     valid: jnp.ndarray    # (...,) bool
 
 
-def make_interaction(scene: Scene, o, d, hit) -> Interaction:
-    """Reconstruct shading data at hit points (vectorized fillDG)."""
+def make_interaction(scene: Scene, o, d, hit, flat: bool = False) -> Interaction:
+    """Reconstruct shading data at hit points (vectorized fillDG).
+
+    `flat`: static fast path for scenes whose shading normals equal face
+    normals and whose UVs are the default barycentric chart — skips the
+    per-corner vertex/normal/uv gathers (one (T,3) gather instead of ~100
+    bytes/lane; Cornell-class scenes take this path via specialize_config)."""
     prim = jnp.maximum(hit.prim, 0)
+    if flat:
+        t_safe = jnp.where(hit.valid & jnp.isfinite(hit.t), hit.t, 1.0)
+        p = o + d * t_safe[..., None]
+        n = scene.shading.n_face[prim]
+        frame = Frame.from_normal(n)
+        uv = hit.bary  # default chart: uv == (b1, b2)
+        mat_id = scene.shading.mat_id[prim]
+        return Interaction(
+            p=p, n_geo=n, frame=frame, uv=uv, t=hit.t, prim=prim,
+            mat_id=jnp.where(hit.valid, mat_id, 0), valid=hit.valid,
+        )
     v = scene.shading.verts[prim]        # (..., 3, 3)
     vn = scene.shading.normals[prim]     # (..., 3, 3)
     uvs = scene.shading.uvs[prim]        # (..., 3, 2)
@@ -260,11 +277,15 @@ def build_scene(
     if vertices.shape[0] >= CLUSTER_MIN_TRIS:
         clusters = build_clusters(bvh, host=host)
     order = host["order"]
+    v_ord = vertices[order]
+    nf = np.cross(v_ord[:, 1] - v_ord[:, 0], v_ord[:, 2] - v_ord[:, 0])
+    nf = nf / np.maximum(np.linalg.norm(nf, axis=-1, keepdims=True), 1e-12)
     shading = ShadingData(
-        verts=jnp.asarray(vertices[order]),
+        verts=jnp.asarray(v_ord),
         normals=jnp.asarray(np.asarray(normals, np.float32)[order]),
         uvs=jnp.asarray(np.asarray(uvs, np.float32)[order]),
         mat_id=jnp.asarray(mat_id[order]),
+        n_face=jnp.asarray(nf.astype(np.float32)),
     )
 
     world_min = np.asarray(bvh.world_min)
