@@ -82,12 +82,18 @@ def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
 
 def _select_light(scene: Scene, u):
     """Power-CDF light selection with sample reuse
-    (Engine/KernelDynamicScene.cu:25-46)."""
+    (Engine/KernelDynamicScene.cu:25-46). Single-light scenes (statically
+    known from the table shape) use a scalar index so every downstream
+    per-lane table lookup becomes a broadcast instead of a 1M-row gather."""
+    if scene.light_cdf.shape[0] == 1:
+        return jnp.int32(0), jnp.ones_like(u), u
     idx, pmf, u_re = mc.sample_discrete(scene.light_cdf, u)
     return idx, pmf, u_re
 
 
 def _light_select_pmf(scene: Scene, lid):
+    if scene.light_cdf.shape[0] == 1:
+        return jnp.ones(jnp.shape(lid), jnp.float32)
     cdf = scene.light_cdf
     hi = cdf[lid]
     lo = jnp.where(lid > 0, cdf[jnp.maximum(lid - 1, 0)], 0.0)
@@ -164,7 +170,8 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
         if has_area_static:
             mat_light = scene.materials.light_id[it.mat_id]
             emissive = found & (mat_light >= 0)
-            lid = jnp.maximum(mat_light, 0)
+            lid = (jnp.int32(0) if scene.n_lights == 1
+                   else jnp.maximum(mat_light, 0))
             Le = lights_mod.eval_area_emission(scene.lights, lid, it.n_geo, wo_world)
             pdf_light_hit = lights_mod.pdf_direct_area(
                 scene.lights, lid, carry.o, it.p, it.n_geo
