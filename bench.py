@@ -22,7 +22,8 @@ def count_rays(width, height, spp, max_depth, img_ignored=None):
 
 
 def main():
-    from cudatracerlib_tpu.render.path_tracer import PTConfig, render
+    from cudatracerlib_tpu.render.path_tracer import (PTConfig, render,
+                                                      render_progressive)
     from cudatracerlib_tpu.scene.shapes import cornell_box
 
     width = height = 256
@@ -34,14 +35,15 @@ def main():
     import numpy as np
 
     # compile + settle (block_until_ready is unreliable over the axon tunnel;
-    # a host transfer forces real synchronization)
-    img = render(scene, width, height, spp, jnp.uint32(0), cfg)
+    # a host transfer forces real synchronization). The timed region runs all
+    # passes in ONE dispatch (the reference's whole main.cpp pass loop as a
+    # single XLA program).
+    n_iter = 5
+    img = render_progressive(scene, width, height, spp, n_iter, jnp.uint32(0), cfg)
     np.asarray(img[:1, :1])
 
-    n_iter = 5
     t0 = time.perf_counter()
-    for i in range(n_iter):
-        img = render(scene, width, height, spp, jnp.uint32(i + 1), cfg)
+    img = render_progressive(scene, width, height, spp, n_iter, jnp.uint32(7), cfg)
     np.asarray(img[:1, :1])
     dt = (time.perf_counter() - t0) / n_iter
 

@@ -351,3 +351,27 @@ def render_pass_fn(scene: Scene, width: int, height: int, spp: int,
                    config: PTConfig = PTConfig()):
     """Returns a jitted fn(seed) -> image, for progressive accumulation."""
     return partial(render, scene, width, height, spp, config=config)
+
+
+def render_progressive(scene: Scene, width: int, height: int, spp: int,
+                       n_passes: int, seed, config: PTConfig = PTConfig()):
+    """N progressive passes fused into ONE dispatch (lax.scan over pass
+    index) — the whole reference `main.cpp` pass loop as a single XLA
+    program, amortizing host/tunnel dispatch overhead."""
+    config = specialize_config(scene, config)
+    return _render_progressive_impl(scene, width, height, spp, n_passes,
+                                    jnp.uint32(seed), config)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "n_passes", "config"))
+def _render_progressive_impl(scene: Scene, width: int, height: int, spp: int,
+                             n_passes: int, seed, config: PTConfig):
+    def one_pass(acc, i):
+        img = _render_impl(scene, width, height, spp, seed + i, config)
+        return acc + img, None
+
+    acc, _ = jax.lax.scan(
+        one_pass, jnp.zeros((height, width, 3), jnp.float32),
+        jnp.arange(n_passes, dtype=jnp.uint32),
+    )
+    return acc / n_passes

@@ -70,6 +70,22 @@ class Lights(NamedTuple):
         return self.ltype.shape[0]
 
 
+def _small_gather(table, idx):
+    """Row gather specialized for tiny tables: a select chain avoids TPU
+    dynamic-gather overhead when the table has <= 8 rows (typical area-light
+    triangle pools)."""
+    n = table.shape[0]
+    if n == 1:
+        return jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+    if n <= 8:
+        out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+        for r in range(1, n):
+            m = (idx == r)
+            out = jnp.where(m.reshape(m.shape + (1,) * (table.ndim - 1)), table[r], out)
+        return out
+    return table[idx]
+
+
 def _tri_areas(tris):
     e1 = tris[:, 1] - tris[:, 0]
     e2 = tris[:, 2] - tris[:, 0]
@@ -228,7 +244,7 @@ def sample_direct(lights: Lights, lid, ref_p, u2, active=None):
         cdf_rows = lights.tri_cdf[lid]
         tri_sel, pmf, u_re = mc.sample_discrete(cdf_rows, u2[..., 0])
         tri_id = jnp.clip(lights.tri_first[lid] + tri_sel, 0, lights.tris.shape[0] - 1)
-        v = lights.tris[tri_id]
+        v = _small_gather(lights.tris, tri_id)
         bary = warp.square_to_uniform_triangle(
             jnp.stack([u_re, u2[..., 1]], axis=-1)
         )
@@ -237,7 +253,7 @@ def sample_direct(lights: Lights, lid, ref_p, u2, active=None):
             + v[..., 1, :] * bary[..., 0:1]
             + v[..., 2, :] * bary[..., 1:2]
         )
-        n_area = lights.tri_n[tri_id]
+        n_area = _small_gather(lights.tri_n, tri_id)
         to_a = p_area - ref_p
         dist2_a = jnp.maximum(dot(to_a, to_a), 1e-12)
         dist_a = jnp.sqrt(dist2_a)

@@ -211,28 +211,46 @@ def make_interaction(scene: Scene, o, d, hit, flat: bool = False) -> Interaction
     )
 
 
+def small_gather(table, idx):
+    """Row lookup specialized for tiny tables (material/texture tables are
+    typically < 16 rows): a select chain avoids the TPU dynamic-gather cost."""
+    n = table.shape[0]
+    if n == 1:
+        return jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+    if n <= 16:
+        out = jnp.broadcast_to(table[0], idx.shape + table.shape[1:])
+        for r in range(1, n):
+            m = (idx == r)
+            out = jnp.where(
+                m.reshape(m.shape + (1,) * (table.ndim - 1)), table[r], out
+            )
+        return out
+    return table[idx]
+
+
 def gather_mat_params(scene: Scene, it: Interaction,
                       tex_types=None) -> bsdf_mod.MatParams:
     """Gather per-lane material params + evaluate textures (SampleTextures)."""
     m = scene.materials
     mid = it.mat_id
-    albedo = tex_mod.eval_texture(scene.textures, m.tex_albedo[mid], it.uv, active=tex_types)
-    spec = tex_mod.eval_texture(scene.textures, m.tex_specular[mid], it.uv, active=tex_types)
-    trans = tex_mod.eval_texture(scene.textures, m.tex_transmittance[mid], it.uv, active=tex_types)
+    g = lambda t: small_gather(t, mid)
+    albedo = tex_mod.eval_texture(scene.textures, g(m.tex_albedo), it.uv, active=tex_types)
+    spec = tex_mod.eval_texture(scene.textures, g(m.tex_specular), it.uv, active=tex_types)
+    trans = tex_mod.eval_texture(scene.textures, g(m.tex_transmittance), it.uv, active=tex_types)
     return bsdf_mod.MatParams(
-        bsdf_type=m.bsdf_type[mid],
-        dist_type=m.dist_type[mid],
+        bsdf_type=g(m.bsdf_type),
+        dist_type=g(m.dist_type),
         albedo=albedo,
         specular=spec,
         transmittance=trans,
-        eta=m.eta[mid],
-        cond_eta=m.cond_eta[mid],
-        cond_k=m.cond_k[mid],
-        alpha_u=m.alpha_u[mid],
-        alpha_v=m.alpha_v[mid],
-        exponent=m.exponent[mid],
-        nonlinear=m.nonlinear[mid],
-        blend_weight=m.blend_weight[mid],
+        eta=g(m.eta),
+        cond_eta=g(m.cond_eta),
+        cond_k=g(m.cond_k),
+        alpha_u=g(m.alpha_u),
+        alpha_v=g(m.alpha_v),
+        exponent=g(m.exponent),
+        nonlinear=g(m.nonlinear),
+        blend_weight=g(m.blend_weight),
     )
 
 

@@ -107,7 +107,9 @@ def eval_texture(tex: Textures, tid, uv, bary=None, active=None):
     CONSTANT textures exist this collapses to a single gather."""
     tid = jnp.clip(tid, 0, tex.ttype.shape[0] - 1)
     if active is not None and set(active) <= {CONSTANT}:
-        return tex.color_a[tid]
+        from .scene import small_gather
+
+        return small_gather(tex.color_a, tid)
     tt = tex.ttype[tid]
     ca = tex.color_a[tid]
     cb = tex.color_b[tid]
