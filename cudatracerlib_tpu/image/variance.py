@@ -20,6 +20,7 @@ BLOCK = 16  # block edge in pixels (reference uses 128-px blocks of 16x8 threads
 UNIFORM = 0
 VARIANCE = 1
 DIFFERENCE = 2
+SELECT = 3
 
 
 class VarianceBuffer(NamedTuple):
@@ -84,12 +85,21 @@ def _block_reduce(x, block: int = BLOCK):
 
 
 def block_weights(vb: VarianceBuffer, mode: int = VARIANCE, lam: float = 0.5,
-                  block: int = BLOCK):
+                  block: int = BLOCK, rect=None):
     """Per-block sampling weights, normalized to mean 1 (the reference's
-    per-block pass-count logic, IBlockSampler.h:18)."""
+    per-block pass-count logic, IBlockSampler.h:18). `rect` = (x0, y0, x1, y1)
+    pixel rect for SELECT mode (reference SelectBlockSampler)."""
+    H, W = vb.mean.shape
     if mode == UNIFORM:
-        H, W = vb.mean.shape
         return jnp.ones((H // block, W // block), jnp.float32)
+    if mode == SELECT:
+        x0, y0, x1, y1 = rect if rect is not None else (0, 0, W, H)
+        bx = jnp.arange(W // block) * block
+        by = jnp.arange(H // block) * block
+        inx = (bx + block > x0) & (bx < x1)
+        iny = (by + block > y0) & (by < y1)
+        w = (iny[:, None] & inx[None, :]).astype(jnp.float32) + 1e-3
+        return w / jnp.maximum(jnp.mean(w), 1e-9)
     if mode == VARIANCE:
         est_std = jnp.sqrt(pixel_variance(vb)) / jnp.maximum(vb.mean, 1e-3)
         color_var = pixel_variance(vb)

@@ -36,6 +36,10 @@ class PTConfig(NamedTuple):
     rr_start: int = 5
     direct: bool = True          # NEE on/off (reference PathTracer "Direct" param)
     ray_eps: float = RAY_EPS
+    # path-space regularization (reference PathTracer.cu:115-170): after the
+    # first bounce, delta BSDFs are mollified into rough lobes of this alpha
+    # (0 = off) so NEE/BDPT strategies can connect through them
+    regularization: float = 0.0
     # scene-static specialization (filled by specialize_config): tuples of the
     # bsdf/light/texture type tags actually present — absent families are
     # never computed (TPU-native analogue of per-type template instantiation)
@@ -65,6 +69,15 @@ def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
         np.asarray(mats.tex_transmittance)[used_mats],
     ]))
     tex_types = tuple(sorted(int(x) for x in np.unique(np.asarray(scene.textures.ttype)[tex_ids])))
+    if config.regularization > 0.0:
+        import cudatracerlib_tpu.scene.bsdf as B
+
+        mapped = set(bsdf_types)
+        if B.CONDUCTOR in mapped:
+            mapped.add(B.ROUGHCONDUCTOR)
+        if B.DIELECTRIC in mapped or B.THINDIELECTRIC in mapped:
+            mapped.add(B.ROUGHDIELECTRIC)
+        bsdf_types = tuple(sorted(mapped))
     sh = scene.shading
     nrm = np.asarray(sh.normals)
     uvs_np = np.asarray(sh.uvs)
@@ -98,6 +111,24 @@ def _light_select_pmf(scene: Scene, lid):
     hi = cdf[lid]
     lo = jnp.where(lid > 0, cdf[jnp.maximum(lid - 1, 0)], 0.0)
     return jnp.maximum(hi - lo, 0.0)
+
+
+def _regularize(mp, depth, alpha):
+    """Mollify delta lobes into rough microfacet lobes after the first bounce
+    (reference path-space regularization, PathTracer.cu:115-170)."""
+    t = mp.bsdf_type
+    mollify = depth > 0
+    new_t = jnp.where(
+        mollify & (t == bsdf_mod.CONDUCTOR), bsdf_mod.ROUGHCONDUCTOR, t
+    )
+    new_t = jnp.where(
+        mollify & ((t == bsdf_mod.DIELECTRIC) | (t == bsdf_mod.THINDIELECTRIC)),
+        bsdf_mod.ROUGHDIELECTRIC, new_t,
+    )
+    was_delta = new_t != t
+    a = jnp.where(was_delta, jnp.float32(alpha), mp.alpha_u)
+    return mp._replace(bsdf_type=new_t, alpha_u=a,
+                       alpha_v=jnp.where(was_delta, jnp.float32(alpha), mp.alpha_v))
 
 
 def _offset_ray(p, n_geo, w, eps):
@@ -185,6 +216,8 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
 
         # ---- surface shading setup ----
         mp = gather_mat_params(scene, it, config.tex_types)
+        if config.regularization > 0.0:
+            mp = _regularize(mp, depth, config.regularization)
         wo_local = it.frame.to_local(wo_world)
 
         # ---- next-event estimation (TraceAlgorithms.cu:44-101) ----

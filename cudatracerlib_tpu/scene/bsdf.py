@@ -68,9 +68,10 @@ WARD = 10
 COATING = 11
 ROUGHCOATING = 12
 BLEND = 13
-NULL_BSDF = 14
+HK = 14
+NULL_BSDF = 15
 
-N_BSDF_TYPES = 15
+N_BSDF_TYPES = 16
 
 # Types that are "opaque two-sided": shade in the upper hemisphere by flipping.
 _TWO_SIDED = (DIFFUSE, ROUGHDIFFUSE, CONDUCTOR, ROUGHCONDUCTOR, PLASTIC,
@@ -548,6 +549,57 @@ def _ward_sample(mp, wo, u2, u1):
     )
 
 
+def _hk_eval(mp, wo, wi):
+    """Hanrahan-Krueger single-scattering slab BSDF (reference BSDF_Simple.h:381).
+
+    Parameter mapping: sigma_s -> cond_eta, sigma_a -> cond_k, slab
+    thickness -> exponent (world units), HG g -> alpha_u. Reflection term of
+    the single-scattering solution; transmission handled in sampling as
+    attenuated pass-through."""
+    from ..scene import phase as phase_mod  # local import (no cycle at module load)
+
+    sigma_s = jnp.abs(mp.cond_eta)
+    sigma_a = jnp.abs(mp.cond_k)
+    sigma_t = jnp.maximum(sigma_s + sigma_a, 1e-6)
+    w_alb = sigma_s / sigma_t
+    tau = sigma_t * mp.exponent[..., None]
+
+    ci = jnp.abs(fr.cos_theta(wi))
+    co = jnp.abs(fr.cos_theta(wo))
+    same = fr.cos_theta(wi) * fr.cos_theta(wo) > 0
+    cos_g = -jnp.sum(wo * wi, axis=-1)  # angle between -wo and wi directions
+    g = mp.alpha_u
+    g2 = g * g
+    ph = (1.0 - g2) / jnp.maximum(
+        4.0 * PI * (1.0 + g2 - 2.0 * g * cos_g) ** 1.5, 1e-8
+    )
+    denom = jnp.maximum(ci + co, 1e-6)
+    atten = 1.0 - jnp.exp(-tau * (1.0 / jnp.maximum(ci, 1e-4)
+                                  + 1.0 / jnp.maximum(co, 1e-4))[..., None])
+    f = w_alb * ph[..., None] * (ci / denom)[..., None] * atten
+    valid = same & (ci > 1e-4) & (co > 1e-4)
+    pdf = jnp.where(valid, fr.abs_cos_theta(wi) * INV_PI * 0.5, 0.0)
+    return jnp.where(valid[..., None], f, 0.0), pdf
+
+
+def _hk_sample(mp, wo, u2, u1):
+    # 50/50: cosine-reflect vs attenuated straight-through transmission
+    pick_refl = u1 < 0.5
+    wi_r = warp.square_to_cosine_hemisphere(u2)
+    wi_r = _mulz(wi_r, jnp.sign(fr.cos_theta(wo)))
+    wi_t = -wo
+    wi = jnp.where(pick_refl[..., None], wi_r, wi_t)
+    sigma_t = jnp.maximum(jnp.abs(mp.cond_eta) + jnp.abs(mp.cond_k), 1e-6)
+    tau = sigma_t * mp.exponent[..., None]
+    trans = jnp.exp(-tau / jnp.maximum(jnp.abs(fr.cos_theta(wo)), 1e-4)[..., None])
+    f, pdf_r = _hk_eval(mp, wo, wi)
+    w_refl = f / jnp.maximum(_sg(pdf_r) * 0.5, 1e-12)[..., None]
+    weight = jnp.where(pick_refl[..., None], w_refl, trans * 2.0)
+    pdf = jnp.where(pick_refl, 0.5 * pdf_r, 0.5)
+    stype = jnp.where(pick_refl, E_GLOSSY_REFLECTION, E_NULL)
+    return wi, weight, pdf, stype.astype(jnp.int32), jnp.ones_like(pdf)
+
+
 # --------------------------------------------------------------------------
 # Dispatch
 # --------------------------------------------------------------------------
@@ -572,6 +624,7 @@ def eval_bsdf(mp: MatParams, wo, wi, active=None):
         (ROUGHDIFFUSE, _roughdiffuse_eval),
         (ROUGHCONDUCTOR, _roughconductor_f_pdf),
         (ROUGHDIELECTRIC, _roughdielectric_f_pdf),
+        (HK, _hk_eval),
         (PLASTIC, _plastic_eval),
         (ROUGHPLASTIC, _roughplastic_eval),
         (PHONG, _phong_eval),
@@ -615,6 +668,7 @@ def sample_bsdf(mp: MatParams, wo, u2, u1, active=None) -> BSDFSample:
         (ROUGHPLASTIC, lambda: _roughplastic_sample(mp, wo_l, u2, u1)),
         (PHONG, lambda: _phong_sample(mp, wo_l, u2, u1)),
         (WARD, lambda: _ward_sample(mp, wo_l, u2, u1)),
+        (HK, lambda: _hk_sample(mp, wo_l, u2, u1)),
     ]
     results = [
         (tag, mk()) for tag, mk in makers
