@@ -144,3 +144,24 @@ class TestGradients:
 
         g = jax.grad(loss)(scene.materials.alpha_u)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestProgressive:
+    def test_fused_passes_match_average(self, cornell):
+        from cudatracerlib_tpu.render.path_tracer import render_progressive
+
+        cfg = PTConfig(max_depth=3, rr_start=99)
+        fused = np.asarray(render_progressive(cornell, 24, 24, 2, 4, 0, cfg))
+        manual = np.zeros_like(fused)
+        for i in range(4):
+            manual += np.asarray(render(cornell, 24, 24, 2, i, cfg)) / 4
+        np.testing.assert_allclose(fused, manual, rtol=1e-4, atol=1e-5)
+
+    def test_regularization_unbiased_on_diffuse(self, cornell):
+        """Mollification only affects delta lobes; a diffuse scene must be
+        bitwise unchanged."""
+        cfg_a = PTConfig(max_depth=3, rr_start=99)
+        cfg_b = PTConfig(max_depth=3, rr_start=99, regularization=0.1)
+        a = np.asarray(render(cornell, 16, 16, 2, 0, cfg_a))
+        b = np.asarray(render(cornell, 16, 16, 2, 0, cfg_b))
+        np.testing.assert_allclose(a, b, atol=1e-6)
