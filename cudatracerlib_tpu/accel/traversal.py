@@ -205,36 +205,78 @@ def intersect(bvh: BVH, o, d, t_min=1e-4, t_max=jnp.inf, any_hit: bool = False,
 DENSE_MAX_TRIS = 4096
 
 
+@jax.custom_jvp
+def _refine_passthrough(woop, o, d, t, u, v, prim, valid):
+    """Forward: the intersector's own (exact) t/u/v pass through untouched —
+    no gather, no recompute. Only the tangent rule (below) pays for the
+    closed-form Woop re-evaluation, so autodiff sees the hit as a function of
+    (woop rows, o, d) while the forward render costs nothing extra. This is
+    what makes the Pallas kernels differentiable without a custom backward
+    kernel (SURVEY.md §7 "differentiable hit refinement")."""
+    return t, u, v
+
+
+@_refine_passthrough.defjvp
+def _refine_passthrough_jvp(primals, tangents):
+    woop, o, d, t, u, v, prim, valid = primals
+    dwoop, do, dd = tangents[0], tangents[1], tangents[2]
+
+    def closed(woop, o, d):
+        rows = jnp.take(woop, jnp.maximum(prim, 0), axis=0)
+        tt, uu, vv, _ = intersect_woop(rows, o, d, -jnp.inf, jnp.inf)
+        return (jnp.where(valid, tt, t), jnp.where(valid, uu, u),
+                jnp.where(valid, vv, v))
+
+    zeros = lambda x, dx: (jnp.zeros_like(x)
+                           if isinstance(dx, jax.custom_derivatives.SymbolicZero)
+                           else dx)
+    _, tangent_out = jax.jvp(
+        closed, (woop, o, d), (zeros(woop, dwoop), zeros(o, do), zeros(d, dd))
+    )
+    return (t, u, v), tangent_out
+
+
 def refine_hit(bvh: BVH, o, d, hit: Hit) -> Hit:
-    """Differentiable re-evaluation of the hit: given the (detached) hit
-    triangle id, recompute t/u/v in closed form from the Woop row so
-    gradients flow into ray origin/direction and (later) vertex positions —
-    regardless of which intersector found the hit."""
-    prim = jax.lax.stop_gradient(jnp.maximum(hit.prim, 0))
-    rows = jnp.take(bvh.woop, prim, axis=0)
-    t, u, v, _ = intersect_woop(rows, o, d, -jnp.inf, jnp.inf)
-    valid = hit.valid
+    """Differentiable hit refinement: given the (detached) hit triangle id,
+    gradients w.r.t. ray origin/direction and vertex positions flow through a
+    closed-form Woop re-evaluation — while the forward values are the
+    intersector's own outputs, passed through at zero cost (the naive
+    recompute was a 1M-row gather costing ~10x the trace kernel itself)."""
+    sg = jax.lax.stop_gradient
+    t, u, v = _refine_passthrough(
+        bvh.woop, o, d, sg(hit.t), sg(hit.bary[..., 0]), sg(hit.bary[..., 1]),
+        sg(hit.prim), sg(hit.valid),
+    )
     return Hit(
-        t=jnp.where(valid, t, jax.lax.stop_gradient(hit.t)),
-        prim=jax.lax.stop_gradient(hit.prim),
-        bary=jnp.where(valid[..., None], jnp.stack([u, v], axis=-1),
-                       jax.lax.stop_gradient(hit.bary)),
-        valid=valid,
+        t=t,
+        prim=sg(hit.prim),
+        bary=jnp.stack([u, v], axis=-1),
+        valid=sg(hit.valid),
     )
 
 
 def intersect_auto(bvh: BVH, o, d, t_min=1e-4, t_max=jnp.inf, any_hit: bool = False):
-    """Pick the fastest correct intersector for scene size + backend (static)."""
+    """Pick the fastest correct intersector for scene size + backend (static).
+
+    The raw intersector runs fully detached (Pallas kernels have no AD rule,
+    and differentiating a traversal would be wasted work anyway); all
+    hit-value tangents flow through `refine_hit`'s custom_jvp instead."""
     platform = jax.devices()[0].platform
+    sg = jax.lax.stop_gradient
+    o_r, d_r, bvh_r = sg(o), sg(d), sg(bvh)
     if bvh.woop.shape[0] <= DENSE_MAX_TRIS and platform not in ("cpu",):
         from ..ops.intersect_pallas import intersect_dense
 
-        raw = intersect_dense(bvh, o, d, t_min, jnp.minimum(t_max, 1e30),
-                              any_hit=any_hit)
+        raw = intersect_dense(bvh_r, o_r, d_r, sg(t_min),
+                              jnp.minimum(sg(t_max), 1e30), any_hit=any_hit)
+        if any_hit:  # occlusion queries only consume .valid — skip refinement
+            return raw
         return refine_hit(bvh, o, d, raw)
     if bvh.woop.shape[0] <= 512:
         return intersect_brute_force(bvh, o, d, t_min, t_max)
-    raw = intersect(bvh, o, d, t_min, t_max, any_hit=any_hit)
+    raw = intersect(bvh_r, o_r, d_r, sg(t_min), sg(t_max), any_hit=any_hit)
+    if any_hit:
+        return raw
     return refine_hit(bvh, o, d, raw)
 
 

@@ -48,14 +48,15 @@ def sample_discrete(cdf, u):
     u = jnp.asarray(u)
     n = cdf.shape[-1]
     cdf_b = jnp.broadcast_to(cdf, u.shape + (n,))
-    idx = jnp.sum((cdf_b < u[..., None]).astype(jnp.int32), axis=-1)
-    idx = jnp.clip(idx, 0, n - 1)
-    hi = jnp.take_along_axis(cdf_b, idx[..., None], axis=-1)[..., 0]
-    lo = jnp.where(
-        idx > 0,
-        jnp.take_along_axis(cdf_b, jnp.maximum(idx - 1, 0)[..., None], axis=-1)[..., 0],
-        0.0,
-    )
+    # The last entry never counts as "below": this bakes the idx<=n-1 clip in,
+    # so u >= cdf[-1] (fp slack) still lands in the final bin.
+    below = (cdf_b < u[..., None]) & (jnp.arange(n) < n - 1)
+    idx = jnp.sum(below.astype(jnp.int32), axis=-1)
+    # hi = cdf[idx], lo = cdf[idx-1] (0 if idx==0). The CDF is sorted, so both
+    # are masked min/max reductions over the (broadcast) entries — pure vector
+    # ops; a take_along_axis gather on the minor axis costs ~100x more on TPU.
+    hi = jnp.min(jnp.where(below, jnp.inf, cdf_b), axis=-1)
+    lo = jnp.max(jnp.where(below, cdf_b, 0.0), axis=-1)
     pmf = jnp.maximum(hi - lo, 0.0)
     u_reused = jnp.clip((u - lo) / jnp.maximum(pmf, 1e-20), 0.0, 1.0 - 1e-7)
     return idx, pmf, u_reused

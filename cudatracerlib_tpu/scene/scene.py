@@ -121,7 +121,11 @@ def scene_intersect(scene: "Scene", o, d, t_min=1e-4, t_max=jnp.inf,
     if scene.clusters is not None and platform not in ("cpu",):
         from ..ops.cluster_trace import intersect_clusters
 
-        raw = intersect_clusters(scene.clusters, o, d, t_min, t_max, any_hit=any_hit)
+        sg = jax.lax.stop_gradient
+        raw = intersect_clusters(sg(scene.clusters), sg(o), sg(d), sg(t_min),
+                                 sg(t_max), any_hit=any_hit)
+        if any_hit:  # occlusion queries only consume .valid — skip refinement
+            return raw
         return traversal_mod.refine_hit(scene.bvh, o, d, raw)
     return traversal_mod.intersect_auto(scene.bvh, o, d, t_min, t_max, any_hit=any_hit)
 
