@@ -83,7 +83,9 @@ def _small_gather(table, idx):
             m = (idx == r)
             out = jnp.where(m.reshape(m.shape + (1,) * (table.ndim - 1)), table[r], out)
         return out
-    return table[idx]
+    from .scene import gather_rows
+
+    return gather_rows(table, idx)
 
 
 def _tri_areas(tris):

@@ -159,7 +159,7 @@ def make_interaction(scene: Scene, o, d, hit, flat: bool = False) -> Interaction
     if flat:
         t_safe = jnp.where(hit.valid & jnp.isfinite(hit.t), hit.t, 1.0)
         p = o + d * t_safe[..., None]
-        n = scene.shading.n_face[prim]
+        n = gather_rows(scene.shading.n_face, prim)
         frame = Frame.from_normal(n)
         uv = hit.bary  # default chart: uv == (b1, b2)
         mat_id = scene.shading.mat_id[prim]
@@ -167,9 +167,9 @@ def make_interaction(scene: Scene, o, d, hit, flat: bool = False) -> Interaction
             p=p, n_geo=n, frame=frame, uv=uv, t=hit.t, prim=prim,
             mat_id=jnp.where(hit.valid, mat_id, 0), valid=hit.valid,
         )
-    v = scene.shading.verts[prim]        # (..., 3, 3)
-    vn = scene.shading.normals[prim]     # (..., 3, 3)
-    uvs = scene.shading.uvs[prim]        # (..., 3, 2)
+    v = gather_rows(scene.shading.verts, prim)     # (..., 3, 3)
+    vn = gather_rows(scene.shading.normals, prim)  # (..., 3, 3)
+    uvs = gather_rows(scene.shading.uvs, prim)     # (..., 3, 2)
     b1 = hit.bary[..., 0:1]
     b2 = hit.bary[..., 1:2]
     b0 = 1.0 - b1 - b2
@@ -215,6 +215,19 @@ def make_interaction(scene: Scene, o, d, hit, flat: bool = False) -> Interaction
     )
 
 
+def gather_rows(table, idx):
+    """Row gather as per-component scalar takes.
+
+    TPU gathers with a tiny minor dimension (e.g. (B,) indices into a (T, 3)
+    table) are ~10x slower than the same data moved as independent (B,)
+    scalar gathers — the column slices are loop-invariant and XLA hoists
+    them, so each component is a plain vectorized take."""
+    lead = table.shape[0]
+    flat = table.reshape(lead, -1)
+    cols = [jnp.take(flat[:, k], idx, axis=0) for k in range(flat.shape[1])]
+    return jnp.stack(cols, axis=-1).reshape(idx.shape + table.shape[1:])
+
+
 def small_gather(table, idx):
     """Row lookup specialized for tiny tables (material/texture tables are
     typically < 16 rows): a select chain avoids the TPU dynamic-gather cost."""
@@ -229,7 +242,7 @@ def small_gather(table, idx):
                 m.reshape(m.shape + (1,) * (table.ndim - 1)), table[r], out
             )
         return out
-    return table[idx]
+    return gather_rows(table, idx)
 
 
 def gather_mat_params(scene: Scene, it: Interaction,
