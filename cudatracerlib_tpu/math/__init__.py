@@ -5,7 +5,9 @@ from . import (  # noqa: F401
     kernels,
     microfacet,
     montecarlo,
+    quadrature,
     spectrum,
+    spline,
     vecmath,
     warp,
 )

@@ -262,3 +262,90 @@ class TestRNG:
         _, u_a = s.next_1d()
         _, u_b = s.next_1d()
         np.testing.assert_array_equal(np.asarray(u_a), np.asarray(u_b))
+
+
+class TestQuadrature:
+    def test_lobatto_nodes_weights(self):
+        from cudatracerlib_tpu.math import quadrature as q
+        x, w = q.gauss_lobatto(7)
+        np.testing.assert_allclose(np.sum(np.asarray(w)), 2.0, atol=1e-5)
+        assert np.asarray(x)[0] == -1.0 and np.asarray(x)[-1] == 1.0
+        x, w = q.gauss_legendre(8)
+        # integrates x^14 exactly: 2/15
+        np.testing.assert_allclose(np.sum(np.asarray(w) * np.asarray(x) ** 14),
+                                   2.0 / 15.0, rtol=1e-4)
+
+    def test_integrate_polynomial_exact(self):
+        from cudatracerlib_tpu.math import quadrature as q
+        val = q.integrate(lambda x: 5 * x**4, 0.0, 2.0, n_panels=2)
+        np.testing.assert_allclose(np.asarray(val), 32.0, rtol=1e-5)
+
+    def test_integrate_batched_transmittance(self):
+        from cudatracerlib_tpu.math import quadrature as q
+        # tau = int_0^b sigma(1 + sin x) dx, batched over b; compare closed form
+        b = jnp.array([0.5, 1.0, 2.0])
+        val = q.integrate(lambda x: 1.0 + jnp.sin(x), jnp.zeros_like(b), b,
+                          n_panels=8)
+        expect = np.asarray(b) + 1.0 - np.cos(np.asarray(b))
+        np.testing.assert_allclose(np.asarray(val), expect, rtol=1e-5)
+
+    def test_integrate_differentiable(self):
+        from cudatracerlib_tpu.math import quadrature as q
+        g = jax.grad(lambda b: q.integrate(lambda x: x * x, 0.0, b))(1.5)
+        np.testing.assert_allclose(np.asarray(g), 1.5**2, rtol=1e-4)
+
+
+class TestSpline:
+    def test_eval_passes_through_nodes(self):
+        from cudatracerlib_tpu.math import spline
+        vals = jnp.array([0.0, 1.0, 4.0, 9.0, 16.0])
+        x = jnp.linspace(0.0, 1.0, 5)
+        y = spline.eval_1d(x, vals, 0.0, 1.0)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(vals), atol=1e-5)
+
+    def test_eval_reproduces_smooth_function(self):
+        from cudatracerlib_tpu.math import spline
+        grid = np.linspace(0, 1, 64)
+        vals = jnp.asarray(np.sin(2 * np.pi * grid))
+        x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, 200).astype(np.float32))
+        y = spline.eval_1d(x, vals, 0.0, 1.0)
+        np.testing.assert_allclose(np.asarray(y), np.sin(2 * np.pi * np.asarray(x)),
+                                   atol=2e-3)
+
+    def test_integrate_matches_quadrature(self):
+        from cudatracerlib_tpu.math import spline
+        grid = np.linspace(0, 2, 32)
+        vals = jnp.asarray((grid**2 + 1).astype(np.float32))
+        cdf = spline.integrate_1d(vals, 0.0, 2.0)
+        np.testing.assert_allclose(np.asarray(cdf)[-1], 8.0 / 3 + 2.0, rtol=1e-4)
+
+    def test_sample_matches_pdf_chi2(self):
+        from cudatracerlib_tpu.math import spline
+        grid = np.linspace(0, 1, 16)
+        vals = jnp.asarray((0.2 + grid**2).astype(np.float32))
+        u = jnp.asarray(np.random.default_rng(1).uniform(0, 1, 50_000).astype(np.float32))
+        x, pdf = spline.sample_1d(u, vals, 0.0, 1.0)
+        x = np.asarray(x)
+        # histogram vs analytic density f/int f
+        total = 0.2 + 1.0 / 3.0
+        hist, edges = np.histogram(x, bins=20, range=(0, 1), density=True)
+        centers = 0.5 * (edges[:-1] + edges[1:])
+        np.testing.assert_allclose(hist, (0.2 + centers**2) / total, atol=0.05)
+        # returned pdf agrees with density
+        np.testing.assert_allclose(np.asarray(pdf), (0.2 + x**2) / total, atol=5e-3)
+
+    def test_eval_2d_3d(self):
+        from cudatracerlib_tpu.math import spline
+        g = np.linspace(0, 1, 17)
+        f2 = np.add.outer(g, 2 * g)  # f(y,x) = y + 2x, linear -> exact
+        p = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (100, 2)).astype(np.float32))
+        y2 = spline.eval_2d(p, jnp.asarray(f2.astype(np.float32)))
+        np.testing.assert_allclose(np.asarray(y2),
+                                   np.asarray(p[:, 1]) + 2 * np.asarray(p[:, 0]),
+                                   atol=1e-4)
+        f3 = (g[:, None, None] + g[None, :, None] * 2 + g[None, None, :] * 3)
+        p3 = jnp.asarray(np.random.default_rng(3).uniform(0, 1, (50, 3)).astype(np.float32))
+        y3 = spline.eval_3d(p3, jnp.asarray(f3.astype(np.float32)))
+        expect = (np.asarray(p3[:, 2]) + 2 * np.asarray(p3[:, 1])
+                  + 3 * np.asarray(p3[:, 0]))
+        np.testing.assert_allclose(np.asarray(y3), expect, atol=2e-4)
