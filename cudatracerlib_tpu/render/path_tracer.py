@@ -47,6 +47,11 @@ class PTConfig(NamedTuple):
     light_types: tuple | None = None
     tex_types: tuple | None = None
     flat_shading: bool = False  # normals==face normals and default UV chart
+    # material-map specialization (Engine/Material.h maps; set from the scene)
+    normal_maps: bool = False
+    height_maps: bool = False
+    parallax: bool = False
+    alpha_test: bool = False
 
 
 def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
@@ -63,12 +68,27 @@ def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
     ))
     bsdf_types = tuple(sorted(int(x) for x in np.unique(np.asarray(mats.bsdf_type)[used_mats])))
     light_types = tuple(sorted(int(x) for x in np.unique(np.asarray(scene.lights.ltype))))
+    map_ids = np.concatenate([
+        np.asarray(mats.tex_normal)[used_mats],
+        np.asarray(mats.tex_height)[used_mats],
+        np.asarray(mats.tex_alpha)[used_mats],
+    ])
     tex_ids = np.unique(np.concatenate([
         np.asarray(mats.tex_albedo)[used_mats],
         np.asarray(mats.tex_specular)[used_mats],
         np.asarray(mats.tex_transmittance)[used_mats],
+        map_ids[map_ids >= 0],
     ]))
     tex_types = tuple(sorted(int(x) for x in np.unique(np.asarray(scene.textures.ttype)[tex_ids])))
+    normal_maps = bool((np.asarray(mats.tex_normal)[used_mats] >= 0).any())
+    height_maps = bool((np.asarray(mats.tex_height)[used_mats] >= 0).any())
+    parallax = height_maps and bool(
+        (np.asarray(mats.parallax)[used_mats] > 0).any()
+    )
+    alpha = bool((
+        (np.asarray(mats.alpha_mode)[used_mats] > 0)
+        & (np.asarray(mats.tex_alpha)[used_mats] >= 0)
+    ).any())
     if config.regularization > 0.0:
         import cudatracerlib_tpu.scene.bsdf as B
 
@@ -89,7 +109,8 @@ def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
     )
     return config._replace(
         bsdf_types=bsdf_types, light_types=light_types, tex_types=tex_types,
-        flat_shading=flat,
+        flat_shading=flat, normal_maps=normal_maps, height_maps=height_maps,
+        parallax=parallax, alpha_test=alpha,
     )
 
 
@@ -147,10 +168,15 @@ class _Carry(NamedTuple):
     prev_pdf: jnp.ndarray      # solid-angle pdf of the last BSDF sample
     prev_delta: jnp.ndarray    # last bounce was a delta lobe (no MIS)
     eta_scale: jnp.ndarray     # accumulated eta^2 for RR throughput
+    path_len: jnp.ndarray      # accumulated path length (ray-cone footprint)
 
 
-def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
-    """Estimate radiance along a batch of rays. Returns (L (B,3), sampler)."""
+def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig,
+                   cone=None):
+    """Estimate radiance along a batch of rays. Returns (L (B,3), sampler).
+
+    `cone`: optional (r0, slope) per-pixel ray-cone (sensors.pixel_spread)
+    driving MIP-mapped texture LOD; None disables texture filtering."""
     B = o.shape[0]
     init = _Carry(
         o=o,
@@ -162,6 +188,7 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
         prev_pdf=jnp.zeros((B,), jnp.float32),
         prev_delta=jnp.ones((B,), bool),   # depth 0: emission counts fully
         eta_scale=jnp.ones((B,), jnp.float32),
+        path_len=jnp.zeros((B,), jnp.float32),
     )
 
     lt = config.light_types
@@ -171,13 +198,34 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
     has_nested = bt is None or any(
         x in bt for x in (bsdf_mod.COATING, bsdf_mod.ROUGHCOATING, bsdf_mod.BLEND)
     )
+    from ..scene import textures as tex_mod
+
+    filter_textures = cone is not None and (
+        config.tex_types is None or tex_mod.IMAGE in config.tex_types
+    )
 
     def bounce(carry: _Carry, depth):
         s = carry.sampler
         hit = scene_mod.scene_intersect(scene, carry.o, carry.d)
         it = make_interaction(scene, carry.o, carry.d, hit,
                               flat=config.flat_shading)
-        found = hit.valid & carry.active
+        found_any = hit.valid & carry.active
+        if config.normal_maps or config.height_maps:
+            it = scene_mod.apply_material_maps(
+                scene, it, -carry.d, config.tex_types,
+                use_normal=config.normal_maps, use_height=config.height_maps,
+                use_parallax=config.parallax,
+            )
+        if config.alpha_test:
+            # alpha-tested-away surfaces pass the ray straight through
+            # (Material::AlphaTest; consumes one bounce like the reference's
+            # wavefront iteration does)
+            keep = scene_mod.alpha_test(scene, it, config.tex_types)
+            passthru = found_any & ~keep
+            found = found_any & keep
+        else:
+            passthru = None
+            found = found_any
         L = carry.L
 
         # ---- environment on escape (PathTracer.cu:98-111) ----
@@ -215,7 +263,16 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
             L = L + jnp.where(emissive[..., None], carry.throughput * Le * w_hit[..., None], 0.0)
 
         # ---- surface shading setup ----
-        mp = gather_mat_params(scene, it, config.tex_types)
+        if filter_textures:
+            r0, slope = cone
+            path_t = carry.path_len + jnp.where(found_any, hit.t, 0.0)
+            uv_width = (r0 + slope * path_t) * jnp.take(
+                scene.shading.uv_density, it.prim
+            )
+        else:
+            path_t = carry.path_len
+            uv_width = None
+        mp = gather_mat_params(scene, it, config.tex_types, uv_width=uv_width)
         if config.regularization > 0.0:
             mp = _regularize(mp, depth, config.regularization)
         wo_local = it.frame.to_local(wo_world)
@@ -229,7 +286,8 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
                                                 active=config.light_types)
             wi_l_local = it.frame.to_local(ds.d)
             if has_nested:
-                mp_in = gather_nested_params(scene, it, config.tex_types)
+                mp_in = gather_nested_params(scene, it, config.tex_types,
+                                             uv_width=uv_width)
                 f_l, pdf_b_l = bsdf_mod.eval_bsdf_nested(
                     mp, mp_in, wo_local, wi_l_local, active=config.bsdf_types)
             else:
@@ -260,7 +318,8 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
         s, u_b2 = s.next_2d()
         s, u_b1 = s.next_1d()
         if has_nested:
-            mp_in2 = gather_nested_params(scene, it, config.tex_types)
+            mp_in2 = gather_nested_params(scene, it, config.tex_types,
+                                              uv_width=uv_width)
             bs = bsdf_mod.sample_bsdf_nested(mp, mp_in2, wo_local, u_b2, u_b1,
                                              active=config.bsdf_types)
         else:
@@ -284,6 +343,22 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
         delta_now = bsdf_mod.is_delta(mp) | (
             (bs.sampled_type & (16 | 32 | 64)) > 0  # delta/null lobes
         )
+        if passthru is not None:
+            # alpha pass-through: continue the unchanged ray from behind the
+            # surface with untouched throughput/MIS state
+            new_o = jnp.where(passthru[..., None],
+                              it.p + carry.d * config.ray_eps, new_o)
+            wi_world = jnp.where(passthru[..., None], carry.d, wi_world)
+            throughput = jnp.where(passthru[..., None], carry.throughput,
+                                   throughput)
+            cont = cont | passthru
+            bs_pdf = jnp.where(passthru, carry.prev_pdf, bs.pdf)
+            delta_now = jnp.where(passthru, carry.prev_delta, delta_now)
+            eta_next = jnp.where(passthru, carry.eta_scale,
+                                 carry.eta_scale * bs.eta * bs.eta)
+        else:
+            bs_pdf = bs.pdf
+            eta_next = carry.eta_scale * bs.eta * bs.eta
         new_carry = _Carry(
             o=jnp.where(cont[..., None], new_o, carry.o),
             d=jnp.where(cont[..., None], wi_world, carry.d),
@@ -291,9 +366,10 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig):
             L=L,
             active=cont,
             sampler=s,
-            prev_pdf=jnp.where(cont, bs.pdf, carry.prev_pdf),
+            prev_pdf=jnp.where(cont, bs_pdf, carry.prev_pdf),
             prev_delta=jnp.where(cont, delta_now, carry.prev_delta),
-            eta_scale=jnp.where(cont, carry.eta_scale * bs.eta * bs.eta, carry.eta_scale),
+            eta_scale=jnp.where(cont, eta_next, carry.eta_scale),
+            path_len=jnp.where(cont, path_t, carry.path_len),
         )
         return new_carry, None
 
@@ -369,7 +445,8 @@ def _render_impl(scene: Scene, width: int, height: int, spp: int, seed,
     sampler, u_ap = sampler.next_2d()
     o, d, w_cam = sensors.sample_ray(scene.camera, film_uv, u_ap)
 
-    L, _ = trace_radiance(scene, o, d, sampler, config)
+    cone = sensors.pixel_spread(scene.camera, width, height)
+    L, _ = trace_radiance(scene, o, d, sampler, config, cone=cone)
     L = jnp.nan_to_num(L * w_cam, nan=0.0, posinf=0.0, neginf=0.0)
 
     # the sample->pixel map is a fixed permutation repeated spp times, so the

@@ -52,6 +52,15 @@ class Materials(NamedTuple):
     light_id: jnp.ndarray    # (M,) int32 — light index if emissive else -1
     nested_id: jnp.ndarray   # (M,) int32 — inner material for coating/blend
     blend_weight: jnp.ndarray  # (M,)
+    # material maps (Engine/Material.h:38-70): -1 = unused texture slots
+    tex_normal: jnp.ndarray  # (M,) int32 normal map (tangent-space RGB)
+    tex_height: jnp.ndarray  # (M,) int32 height/bump map
+    height_scale: jnp.ndarray  # (M,) HeightScale
+    parallax: jnp.ndarray    # (M,) int32 enableParallaxOcclusion
+    alpha_mode: jnp.ndarray  # (M,) int32 AlphaBlendState (0=off,1=lum,2=alpha,3=color)
+    tex_alpha: jnp.ndarray   # (M,) int32 alpha-test texture
+    alpha_ref: jnp.ndarray   # (M,) test_val_scalar
+    alpha_ref_color: jnp.ndarray  # (M, 3) test_val_color
 
     @staticmethod
     def build(records: list[dict]) -> "Materials":
@@ -73,6 +82,14 @@ class Materials(NamedTuple):
             light_id=np.full(m, -1, np.int32),
             nested_id=np.zeros(m, np.int32),
             blend_weight=np.full(m, 0.5, np.float32),
+            tex_normal=np.full(m, -1, np.int32),
+            tex_height=np.full(m, -1, np.int32),
+            height_scale=np.ones(m, np.float32),
+            parallax=np.zeros(m, np.int32),
+            alpha_mode=np.zeros(m, np.int32),
+            tex_alpha=np.full(m, -1, np.int32),
+            alpha_ref=np.full(m, 0.5, np.float32),
+            alpha_ref_color=np.zeros((m, 3), np.float32),
         )
         for i, r in enumerate(records):
             for k, v in r.items():
@@ -89,6 +106,7 @@ class ShadingData(NamedTuple):
     uvs: jnp.ndarray       # (T, 3, 2)
     mat_id: jnp.ndarray    # (T,) int32
     n_face: jnp.ndarray    # (T, 3) unit geometric normals (precomputed)
+    uv_density: jnp.ndarray  # (T,) sqrt(uv area / world area) — ray-cone->mip LOD
 
 
 class Scene(NamedTuple):
@@ -245,15 +263,21 @@ def small_gather(table, idx):
     return gather_rows(table, idx)
 
 
-def gather_mat_params(scene: Scene, it: Interaction,
-                      tex_types=None) -> bsdf_mod.MatParams:
-    """Gather per-lane material params + evaluate textures (SampleTextures)."""
+def gather_mat_params(scene: Scene, it: Interaction, tex_types=None,
+                      uv_width=None) -> bsdf_mod.MatParams:
+    """Gather per-lane material params + evaluate textures (SampleTextures).
+
+    `uv_width`: optional per-lane isotropic texture footprint (uv units) for
+    MIP-mapped image lookups (ray-cone LOD selection)."""
     m = scene.materials
     mid = it.mat_id
     g = lambda t: small_gather(t, mid)
-    albedo = tex_mod.eval_texture(scene.textures, g(m.tex_albedo), it.uv, active=tex_types)
-    spec = tex_mod.eval_texture(scene.textures, g(m.tex_specular), it.uv, active=tex_types)
-    trans = tex_mod.eval_texture(scene.textures, g(m.tex_transmittance), it.uv, active=tex_types)
+    albedo = tex_mod.eval_texture(scene.textures, g(m.tex_albedo), it.uv,
+                                  active=tex_types, uv_width=uv_width)
+    spec = tex_mod.eval_texture(scene.textures, g(m.tex_specular), it.uv,
+                                active=tex_types, uv_width=uv_width)
+    trans = tex_mod.eval_texture(scene.textures, g(m.tex_transmittance), it.uv,
+                                 active=tex_types, uv_width=uv_width)
     return bsdf_mod.MatParams(
         bsdf_type=g(m.bsdf_type),
         dist_type=g(m.dist_type),
@@ -271,12 +295,137 @@ def gather_mat_params(scene: Scene, it: Interaction,
     )
 
 
-def gather_nested_params(scene: Scene, it: Interaction,
-                         tex_types=None) -> bsdf_mod.MatParams:
+PARALLAX_STEPS = 16  # fixed-trip replacement for parallaxMin/MaxSamples
+
+
+def apply_material_maps(scene: Scene, it: Interaction, wo_world,
+                        tex_types=None, use_normal: bool = True,
+                        use_height: bool = True,
+                        use_parallax: bool = True) -> Interaction:
+    """Perturb the shading frame by normal/height maps and apply parallax
+    occlusion mapping — counterpart of ``Material::SampleNormalMap`` +
+    ``parallaxOcclusion`` (Engine/Material.cu:46-139).
+
+    TPU translation: the reference's early-exit height march becomes a
+    fixed-trip unrolled march whose crossing point is found with a running
+    argmin mask; all texture fetches are static-shape atlas gathers. Callers
+    gate this statically (specialize_config) so unmapped scenes pay nothing.
+    """
+    m = scene.materials
+    mid = it.mat_id
+    nm_id = small_gather(m.tex_normal, mid)
+    hm_id = small_gather(m.tex_height, mid)
+    h_scale = small_gather(m.height_scale, mid)
+    use_par = small_gather(m.parallax, mid) > 0
+    frame = it.frame
+    uv = it.uv
+
+    # --- parallax occlusion (height-map ray march, Material.cu:46-94) ---
+    has_hm = hm_id >= 0
+    hm_safe = jnp.maximum(hm_id, 0)
+    if use_parallax:
+        wi_local = frame.to_local(wo_world)  # view dir, surface->eye
+        denom = jnp.maximum(wi_local[..., 2], 1e-3)
+        par_len = (
+            jnp.sqrt(jnp.maximum(1.0 - wi_local[..., 2] ** 2, 0.0)) / denom
+        )
+        dir2 = wi_local[..., 0:2]
+        dir2 = dir2 / jnp.maximum(
+            jnp.sqrt(jnp.sum(dir2 * dir2, -1, keepdims=True)), 1e-9
+        )
+        offset_full = dir2 * (par_len * h_scale)[..., None]
+        step = 1.0 / PARALLAX_STEPS
+        # march from the surface towards the viewer; record first crossing
+        amount = jnp.zeros(uv.shape[:-1], jnp.float32)
+        found_x = jnp.zeros(uv.shape[:-1], bool)
+        prev_h = jnp.ones(uv.shape[:-1], jnp.float32)
+        for k in range(1, PARALLAX_STEPS + 1):
+            bound = 1.0 - k * step
+            uv_k = uv - offset_full * (k * step)
+            h_k = jnp.mean(
+                tex_mod.eval_texture(scene.textures, hm_safe, uv_k,
+                                     active=tex_types), -1)
+            cross = (h_k > bound) & ~found_x
+            # secant intersection of the two line segments (Material.cu:88-91)
+            d2 = (bound + step) - prev_h
+            d1 = bound - h_k
+            den = jnp.where(jnp.abs(d2 - d1) < 1e-9, 1.0, d2 - d1)
+            amt = (bound * d2 - (bound + step) * d1) / den
+            amount = jnp.where(cross, amt, amount)
+            found_x = found_x | cross
+            prev_h = h_k
+        uv_par = uv - offset_full * (1.0 - amount)[..., None]
+        uv = jnp.where((has_hm & use_par)[..., None], uv_par, uv)
+
+    n_new = frame.n
+    if use_height:
+        # --- height-map bump gradient (Material.cu:118-135) ---
+        eps_uv = 1.0 / tex_mod.ATLAS_RES
+        h0 = jnp.mean(tex_mod.eval_texture(scene.textures, hm_safe, uv,
+                                           active=tex_types), -1)
+        hu = jnp.mean(tex_mod.eval_texture(
+            scene.textures, hm_safe, uv + jnp.asarray([eps_uv, 0.0]),
+            active=tex_types), -1)
+        hv = jnp.mean(tex_mod.eval_texture(
+            scene.textures, hm_safe, uv + jnp.asarray([0.0, eps_uv]),
+            active=tex_types), -1)
+        ddu = (hu - h0) / eps_uv * h_scale
+        ddv = (hv - h0) / eps_uv * h_scale
+        dpdu = frame.s + frame.n * ddu[..., None]
+        dpdv = frame.t + frame.n * ddv[..., None]
+        n_h = normalize(jnp.cross(dpdu, dpdv))
+        n_h = n_h * jnp.sign(dot(n_h, frame.n, keepdims=True))
+        n_new = jnp.where(has_hm[..., None], n_h, n_new)
+
+    has_nm = nm_id >= 0
+    if use_normal:
+        # --- tangent-space normal map (Material.cu:96-107) ---
+        c = tex_mod.eval_texture(scene.textures, jnp.maximum(nm_id, 0), uv,
+                                 active=tex_types)
+        n_t = normalize(c - 0.5)
+        n_nm = frame.to_world(n_t)
+        n_new = jnp.where(has_nm[..., None], n_nm, n_new)
+    # re-orthogonalize keeping s as stable as possible (reference rebuilds
+    # t = cross(n, s); s = cross(n, t))
+    t_new = normalize(jnp.cross(n_new, frame.s))
+    s_new = normalize(jnp.cross(n_new, t_new))
+    changed = (has_nm | has_hm)[..., None]
+    new_frame = Frame(
+        s=jnp.where(changed, s_new, frame.s),
+        t=jnp.where(changed, t_new, frame.t),
+        n=jnp.where(changed, n_new, frame.n),
+    )
+    return it._replace(frame=new_frame, uv=uv)
+
+
+def alpha_test(scene: Scene, it: Interaction, tex_types=None):
+    """True where the surface is kept (opaque) — ``Material::AlphaTest``.
+
+    Modes (Engine/Material.h:8-22): 1 luminance >= ref, 2 alpha >= ref
+    (RGB atlas: alpha falls back to luminance), 3 max|c - ref_color| <= ref.
+    """
+    m = scene.materials
+    mid = it.mat_id
+    mode = small_gather(m.alpha_mode, mid) & 3
+    tid = small_gather(m.tex_alpha, mid)
+    ref = small_gather(m.alpha_ref, mid)
+    ref_c = small_gather(m.alpha_ref_color, mid)
+    used = (mode > 0) & (tid >= 0)
+    c = tex_mod.eval_texture(scene.textures, jnp.maximum(tid, 0), it.uv,
+                             active=tex_types)
+    lum = 0.212671 * c[..., 0] + 0.715160 * c[..., 1] + 0.072169 * c[..., 2]
+    keep_lum = lum >= ref
+    keep_col = jnp.max(jnp.abs(c - ref_c), -1) <= ref
+    keep = jnp.where(mode == 3, keep_col, keep_lum)
+    return ~used | keep
+
+
+def gather_nested_params(scene: Scene, it: Interaction, tex_types=None,
+                         uv_width=None) -> bsdf_mod.MatParams:
     """MatParams of the *inner* material for coating/blend lanes
     (reference BSDF_Complex nesting, one level)."""
     inner = it._replace(mat_id=scene.materials.nested_id[it.mat_id])
-    return gather_mat_params(scene, inner, tex_types)
+    return gather_mat_params(scene, inner, tex_types, uv_width)
 
 
 def build_scene(
@@ -315,12 +464,21 @@ def build_scene(
     v_ord = vertices[order]
     nf = np.cross(v_ord[:, 1] - v_ord[:, 0], v_ord[:, 2] - v_ord[:, 0])
     nf = nf / np.maximum(np.linalg.norm(nf, axis=-1, keepdims=True), 1e-12)
+    uv_ord = np.asarray(uvs, np.float32)[order]
+    duv1 = uv_ord[:, 1] - uv_ord[:, 0]
+    duv2 = uv_ord[:, 2] - uv_ord[:, 0]
+    uv_area = 0.5 * np.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    w_area = 0.5 * np.linalg.norm(
+        np.cross(v_ord[:, 1] - v_ord[:, 0], v_ord[:, 2] - v_ord[:, 0]), axis=-1
+    )
+    uv_density = np.sqrt(uv_area / np.maximum(w_area, 1e-20))
     shading = ShadingData(
         verts=jnp.asarray(v_ord),
         normals=jnp.asarray(np.asarray(normals, np.float32)[order]),
-        uvs=jnp.asarray(np.asarray(uvs, np.float32)[order]),
+        uvs=jnp.asarray(uv_ord),
         mat_id=jnp.asarray(mat_id[order]),
         n_face=jnp.asarray(nf.astype(np.float32)),
+        uv_density=jnp.asarray(uv_density.astype(np.float32)),
     )
 
     world_min = np.asarray(bvh.world_min)

@@ -161,3 +161,22 @@ def sample_direct(cam: Camera, ref_p):
         (u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0) & (p_cam[..., 2] > 1e-6)
     )
     return uv, d, dist, importance, in_frustum
+
+
+def pixel_spread(cam: Camera, width: int, height: int):
+    """Per-pixel ray-cone parameters (r0, slope): the world-space footprint
+    radius of one pixel at distance t is ~ r0 + slope * t.
+
+    TPU-native replacement for the reference's per-ray differential
+    generation (Sensor.h:217 sampleRayDifferential): a scalar cone is carried
+    per path instead of two differential rays, which is what drives MIP LOD
+    selection (MIPMap Sample(uv, width)).
+    """
+    persp_slope = 2.0 * cam.tan_half_fov / width
+    ortho_r0 = 2.0 * cam.ortho_scale / width
+    sph_slope = 2.0 * jnp.pi / width
+    is_ortho = (cam.ctype == ORTHOGRAPHIC) | (cam.ctype == TELECENTRIC)
+    r0 = jnp.where(is_ortho, ortho_r0, 0.0)
+    slope = jnp.where(is_ortho, 0.0,
+                      jnp.where(cam.ctype == SPHERICAL, sph_slope, persp_slope))
+    return r0, slope
