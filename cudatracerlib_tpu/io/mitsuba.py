@@ -174,6 +174,8 @@ class _SceneBuilder:
         self.camera: Optional[Camera] = None
         self.named_bsdfs: dict = {}
         self.env_map: Optional[np.ndarray] = None
+        self.media_records: list = []
+        self.shape_groups: dict = {}
 
     def add_texture(self, rec) -> int:
         self.tex_records.append(rec)
@@ -227,8 +229,105 @@ def _parse_bsdf(node, sb: _SceneBuilder, defaults) -> dict:
     return rec
 
 
+def _parse_phase(node, defaults):
+    """PhaseFunctionParser equivalent: returns (phase_type, g)."""
+    from ..scene import phase as PH
+
+    if node is None:
+        return PH.ISOTROPIC, 0.0
+    ptype = node.get("type", "isotropic")
+    props = _get_props(node, defaults)
+    tag = {"hg": PH.HG, "isotropic": PH.ISOTROPIC,
+           "rayleigh": PH.RAYLEIGH, "kkay": PH.KAJIYA_KAY}.get(ptype, PH.ISOTROPIC)
+    return tag, float(props.get("g", 0.0))
+
+
+def _load_vol(path: str, grid_res: int) -> Optional[np.ndarray]:
+    """Mitsuba .vol binary grid (format spec: 'VOL' magic, version 3,
+    encoding 1 = float32, dims, bbox, data) resampled to (R, R, R)."""
+    import struct
+
+    with open(path, "rb") as f:
+        if f.read(3) != b"VOL":
+            return None
+        (version,) = struct.unpack("B", f.read(1))
+        (encoding,) = struct.unpack("<i", f.read(4))
+        nx, ny, nz = struct.unpack("<3i", f.read(12))
+        (channels,) = struct.unpack("<i", f.read(4)) if version >= 3 else (1,)
+        f.read(24)  # bbox
+        if encoding != 1:
+            return None
+        data = np.frombuffer(f.read(nx * ny * nz * channels * 4), "<f4")
+        data = data.reshape(nz, ny, nx, channels)[..., 0]
+    # resample (nearest) to the static grid resolution, index order x,y,z
+    d = np.transpose(data, (2, 1, 0))
+    ix = np.clip((np.arange(grid_res) + 0.5) / grid_res * d.shape[0], 0,
+                 d.shape[0] - 1).astype(int)
+    iy = np.clip((np.arange(grid_res) + 0.5) / grid_res * d.shape[1], 0,
+                 d.shape[1] - 1).astype(int)
+    iz = np.clip((np.arange(grid_res) + 0.5) / grid_res * d.shape[2], 0,
+                 d.shape[2] - 1).astype(int)
+    return d[np.ix_(ix, iy, iz)].astype(np.float32)
+
+
+def _parse_medium(node, sb: _SceneBuilder, defaults, box=None) -> dict:
+    """MediumParser equivalent (ObjectParser.h:173): homogeneous /
+    heterogeneous -> a scene/media.py Media record dict."""
+    from ..scene import media as M
+
+    props = _get_props(node, defaults)
+    ptag, g = _parse_phase(node.find("phase"), defaults)
+    rec: dict = {"phase_type": ptag, "phase_g": g}
+
+    sigma_s = props.get("sigmaS", props.get("sigma_s"))
+    sigma_a = props.get("sigmaA", props.get("sigma_a"))
+    sigma_t = props.get("sigmaT", props.get("sigma_t"))
+    albedo = props.get("albedo")
+    if sigma_t is not None:
+        st = np.asarray(sigma_t, np.float32) * np.ones(3, np.float32)
+        al = np.asarray(albedo if albedo is not None else 0.75,
+                        np.float32) * np.ones(3, np.float32)
+        sigma_s, sigma_a = st * al, st * (1.0 - al)
+    if sigma_s is None:
+        sigma_s = np.full(3, 0.5, np.float32)
+    if sigma_a is None:
+        sigma_a = np.full(3, 0.1, np.float32)
+    scale = float(np.mean(props.get("scale", 1.0)))
+    rec["sigma_s"] = np.asarray(sigma_s, np.float32) * np.ones(3) * scale
+    rec["sigma_a"] = np.asarray(sigma_a, np.float32) * np.ones(3) * scale
+
+    if node.get("type") == "heterogeneous":
+        rec["type"] = M.GRID
+        for vol in node.findall("volume"):
+            if vol.get("name") != "density":
+                continue
+            vprops = _get_props(vol, defaults)
+            if vol.get("type") == "gridvolume":
+                fn = os.path.join(sb.base_dir, vprops.get("filename", ""))
+                if os.path.exists(fn):
+                    d = _load_vol(fn, M.GRID_RES)
+                    if d is not None:
+                        rec["density"] = d
+            elif vol.get("type") == "constvolume":
+                val = float(np.mean(vprops.get("value", 1.0)))
+                rec["density"] = np.full((M.GRID_RES,) * 3, val, np.float32)
+            vm = vol.find("transform")
+            if vm is not None:
+                m = _parse_transform(vm)
+                corners = _xform_pts(m, np.asarray(
+                    [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+                    np.float32))
+                rec["box_min"] = corners.min(0)
+                rec["box_max"] = corners.max(0)
+    else:
+        rec["type"] = M.HOMOGENEOUS
+    if box is not None and "box_min" not in rec:
+        rec["box_min"], rec["box_max"] = box
+    return rec
+
+
 def _shape_geometry(node, props, sb: _SceneBuilder, to_world):
-    """ShapeParser geometry: obj/ply/rectangle/cube/sphere/disk."""
+    """ShapeParser geometry: obj/ply/rectangle/cube/sphere/disk/cylinder."""
     stype = node.get("type")
     from ..scene.shapes import box as box_shape, quad, sphere as sphere_shape
 
@@ -255,6 +354,30 @@ def _shape_geometry(node, props, sb: _SceneBuilder, to_world):
         c = props.get("center", np.zeros(3, np.float32))
         r = props.get("radius", 1.0)
         return sphere_shape(c, r, n_theta=24, n_phi=48), None, None
+    if stype == "cylinder":
+        p0 = np.asarray(props.get("p0", [0, 0, 0]), np.float32)
+        p1 = np.asarray(props.get("p1", [0, 0, 1]), np.float32)
+        r = float(props.get("radius", 1.0))
+        axis = p1 - p0
+        ln = np.linalg.norm(axis)
+        axis = axis / max(ln, 1e-9)
+        # orthonormal basis around the axis
+        up = np.array([1, 0, 0], np.float32) if abs(axis[0]) < 0.9 else \
+            np.array([0, 1, 0], np.float32)
+        bx = np.cross(axis, up)
+        bx /= max(np.linalg.norm(bx), 1e-9)
+        by = np.cross(axis, bx)
+        segs = 32
+        vs = []
+        for i in range(segs):
+            a0 = 2 * np.pi * i / segs
+            a1 = 2 * np.pi * (i + 1) / segs
+            q0 = p0 + r * (np.cos(a0) * bx + np.sin(a0) * by)
+            q1 = p0 + r * (np.cos(a1) * bx + np.sin(a1) * by)
+            q2, q3 = q1 + axis * ln, q0 + axis * ln
+            vs.append(np.stack([q0, q1, q2]))
+            vs.append(np.stack([q0, q2, q3]))
+        return np.stack(vs).astype(np.float32), None, None
     if stype == "disk":
         segs = 32
         vs = []
@@ -272,6 +395,14 @@ def _shape_geometry(node, props, sb: _SceneBuilder, to_world):
 
 def load_mitsuba(path: str, aspect_hint: float = 1.0) -> Scene:
     """Parse a Mitsuba XML file into a Scene (ParseMitsubaScene equivalent)."""
+    scene, _ = load_mitsuba_full(path, aspect_hint)
+    return scene
+
+
+def load_mitsuba_full(path: str, aspect_hint: float = 1.0):
+    """Parse a Mitsuba XML file -> (Scene, Media | None). Media come from
+    scene-level <medium> nodes and shape-attached interior media
+    (MediumParser, ObjectParser.h:173)."""
     tree = ET.parse(path)
     root = tree.getroot()
     sb = _SceneBuilder(os.path.dirname(os.path.abspath(path)))
@@ -336,7 +467,30 @@ def load_mitsuba(path: str, aspect_hint: float = 1.0) -> Scene:
                     "type": L.CONSTANT_ENV,
                     "radiance": props.get("radiance", np.ones(3, np.float32)),
                 })
-            elif etype in ("envmap", "sky", "sunsky"):
+            elif etype in ("sky", "sun", "sunsky"):
+                # analytic Preetham model (reference ObjectParser sun/sky/sunsky)
+                from .sunsky import (preetham_sky, sun_direction_from_angles,
+                                     sun_radiance)
+
+                turb = float(props.get("turbidity", 3.0))
+                sd = props.get("sunDirection", props.get("sun_direction"))
+                if sd is None:
+                    sd = sun_direction_from_angles(30.0, 0.0)
+                sd = np.asarray(sd, np.float32)
+                sd = sd / max(np.linalg.norm(sd), 1e-9)
+                scale = float(np.mean(props.get("scale", 1.0)))
+                if etype in ("sky", "sunsky"):
+                    sb.env_map = preetham_sky(sd, turb, res=64, scale=scale)
+                    sb.light_records.append({
+                        "type": L.INFINITE,
+                        "radiance": np.ones(3, np.float32),
+                    })
+                if etype in ("sun", "sunsky"):
+                    sb.light_records.append({
+                        "type": L.DISTANT, "direction": (-sd).astype(np.float32),
+                        "radiance": sun_radiance(turb, scale),
+                    })
+            elif etype == "envmap":
                 fn = props.get("filename")
                 env = None
                 if fn:
@@ -356,6 +510,39 @@ def load_mitsuba(path: str, aspect_hint: float = 1.0) -> Scene:
                     "type": L.INFINITE,
                     "radiance": props.get("scale", np.ones(3, np.float32)) * np.ones(3, np.float32),
                 })
+        elif tag == "medium":
+            sb.media_records.append(_parse_medium(node, sb, defaults))
+        elif tag == "shape" and node.get("type") == "shapegroup":
+            # shapegroup: collect children geometry for later instancing
+            group = []
+            for child in node.findall("shape"):
+                cprops = _get_props(child, defaults)
+                cm = _parse_transform(child.find("transform"))
+                cv, cn, cuv = _shape_geometry(child, cprops, sb, cm)
+                if cv is None:
+                    continue
+                cv = _xform_pts(cm, cv.reshape(-1, 3)).reshape(-1, 3, 3)
+                group.append((cv.astype(np.float32), cn, cuv, child))
+            if node.get("id"):
+                sb.shape_groups[node.get("id")] = group
+        elif tag == "shape" and node.get("type") == "instance":
+            ref = node.find("ref")
+            gid = ref.get("id") if ref is not None else None
+            m = _parse_transform(node.find("transform"))
+            for cv, cn, cuv, child in sb.shape_groups.get(gid, []):
+                v = _xform_pts(m, cv.reshape(-1, 3)).reshape(-1, 3, 3).astype(np.float32)
+                mat_rec = {"bsdf_type": B.DIFFUSE, "tex_albedo": 0}
+                cref = child.find("ref")
+                if cref is not None and cref.get("id") in sb.named_bsdfs:
+                    mat_rec = dict(sb.named_bsdfs[cref.get("id")])
+                inline = child.find("bsdf")
+                if inline is not None:
+                    mat_rec = _parse_bsdf(inline, sb, defaults)
+                mid = sb.add_material(mat_rec)
+                sb.tris.append(v)
+                sb.normals.append(_face_normals(v))
+                sb.uvs.append(cuv if cuv is not None else _default_uvs(len(v)))
+                sb.mat_of_tri.extend([mid] * len(v))
         elif tag == "shape":
             props = _get_props(node, defaults)
             m = _parse_transform(node.find("transform"))
@@ -390,6 +577,13 @@ def load_mitsuba(path: str, aspect_hint: float = 1.0) -> Scene:
                     "type": L.AREA_LIGHT, "radiance": rad, "tris": v,
                 })
 
+            # interior medium attached to the shape: world AABB bounds it
+            for med in node.findall("medium"):
+                if med.get("name", "interior") == "interior":
+                    box = (v.reshape(-1, 3).min(0), v.reshape(-1, 3).max(0))
+                    sb.media_records.append(
+                        _parse_medium(med, sb, defaults, box=box))
+
             mid = sb.add_material(mat_rec)
             sb.tris.append(v)
             sb.normals.append(n if n is not None else _face_normals(v))
@@ -404,11 +598,23 @@ def load_mitsuba(path: str, aspect_hint: float = 1.0) -> Scene:
     vertices = np.concatenate(sb.tris)
     normals = np.concatenate(sb.normals)
     uvs = np.concatenate(sb.uvs)
-    return build_scene(
+    scene = build_scene(
         vertices, normals, uvs, np.asarray(sb.mat_of_tri, np.int32),
         Materials.build(sb.mat_records), Textures.build(sb.tex_records),
         sb.light_records, sb.camera, env_map=sb.env_map,
     )
+    media = None
+    if sb.media_records:
+        from ..scene import media as M
+
+        # scene-level media without explicit bounds span the scene AABB
+        lo = vertices.reshape(-1, 3).min(0) - 1e-3
+        hi = vertices.reshape(-1, 3).max(0) + 1e-3
+        for rec in sb.media_records:
+            rec.setdefault("box_min", lo)
+            rec.setdefault("box_max", hi)
+        media = M.Media.build(sb.media_records)
+    return scene, media
 
 
 def _face_normals(v):

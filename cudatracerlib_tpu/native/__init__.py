@@ -47,6 +47,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int,
         ]
+        lib.bvh_build_ex.restype = ctypes.c_int
+        lib.bvh_build_ex.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ]
         lib.bvh_n_nodes.restype = ctypes.c_int
         lib.bvh_n_order.restype = ctypes.c_int
         lib.bvh_copy.argtypes = [
@@ -57,16 +62,21 @@ def get_lib():
 
 
 def build_bvh_native(tris: np.ndarray, leaf_size: int, n_bins: int,
-                     max_depth: int):
-    """Returns (nodes (M,16) f32, order (P,) i32, root) or None if unavailable."""
+                     max_depth: int, spatial: bool = True,
+                     alpha: float = 1e-5):
+    """Returns (nodes (M,16) f32, order (P,) i32, root) or None if unavailable.
+
+    `spatial`: enable SBVH spatial splits (reference SplitBVHBuilder's
+    default path); `alpha`: overlap gate as a fraction of root surface area."""
     lib = get_lib()
     if lib is None:
         return None
     tris = np.ascontiguousarray(tris.reshape(-1, 9), np.float32)
     with _LOCK:
-        root = lib.bvh_build(
+        root = lib.bvh_build_ex(
             tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             tris.shape[0], leaf_size, n_bins, max_depth,
+            1 if spatial else 0, alpha,
         )
         n_nodes = lib.bvh_n_nodes()
         n_order = lib.bvh_n_order()

@@ -91,7 +91,12 @@ def _ray_box(box_min, box_max, o, d, t_min, t_max):
 
 
 def _grid_density(media: Media, vid, p):
-    """Trilinear density lookup in volume vid's local box (DenseVolGrid)."""
+    """Trilinear density lookup in volume vid's local box (DenseVolGrid).
+
+    The 8 corner fetches index a FLATTENED (V*R^3,) density array with scalar
+    ids — never `density[vid]`, which would materialize a full R^3 grid per
+    query point (a (B, R, R, R) temp: 16 GB HBM for 32k queries) instead of
+    8 B-sized gathers."""
     lo = media.box_min[vid]
     hi = media.box_max[vid]
     q = (p - lo) / jnp.maximum(hi - lo, 1e-9) * (GRID_RES - 1)
@@ -99,21 +104,11 @@ def _grid_density(media: Media, vid, p):
     i0 = jnp.floor(q).astype(jnp.int32)
     f = q - i0
     i1 = jnp.minimum(i0 + 1, GRID_RES - 1)
-    dgrid = media.density[vid]
+    flat = media.density.reshape(-1)
+    base = vid * (GRID_RES * GRID_RES * GRID_RES)
 
-    def at(ix, iy, iz):
-        return dgrid[..., ix, iy, iz] if dgrid.ndim == 3 else dgrid[
-            jnp.arange(dgrid.shape[0]), ix, iy, iz
-        ]
-
-    # gather 8 corners (vid is batched: density[vid] -> (..., R, R, R))
     def corner(ax, ay, az):
-        idx = (ax, ay, az)
-        return jnp.take_along_axis(
-            jnp.take_along_axis(
-                jnp.take_along_axis(dgrid, ax[..., None, None, None], -3),
-                ay[..., None, None, None], -2),
-            az[..., None, None, None], -1)[..., 0, 0, 0]
+        return flat[base + (ax * GRID_RES + ay) * GRID_RES + az]
 
     c000 = corner(i0[..., 0], i0[..., 1], i0[..., 2])
     c100 = corner(i1[..., 0], i0[..., 1], i0[..., 2])

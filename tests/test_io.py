@@ -214,3 +214,213 @@ class TestCheckpoint:
         loaded = load_pytree(path, Film.create(8, 8))
         np.testing.assert_allclose(np.asarray(loaded.rgb), 1.5)
         assert float(loaded.n_passes) == 3
+
+
+MD5MESH = """
+MD5Version 10
+commandline ""
+
+numJoints 2
+numMeshes 1
+
+joints {
+	"root"	-1 ( 0 0 0 ) ( 0 0 0 )		//
+	"arm"	0 ( 1 0 0 ) ( 0 0 0 )		// root
+}
+
+mesh {
+	shader "beam"
+	numverts 4
+	vert 0 ( 0 0 ) 0 1
+	vert 1 ( 1 0 ) 1 1
+	vert 2 ( 1 1 ) 2 1
+	vert 3 ( 0 1 ) 3 1
+
+	numtris 2
+	tri 0 0 1 2
+	tri 1 0 2 3
+
+	numweights 4
+	weight 0 0 1.0 ( 0 0 0 )
+	weight 1 0 1.0 ( 0 0.2 0 )
+	weight 2 1 1.0 ( 1 0.2 0 )
+	weight 3 1 1.0 ( 1 0 0 )
+}
+"""
+
+MD5ANIM = """
+MD5Version 10
+commandline ""
+
+numFrames 2
+numJoints 2
+frameRate 24
+numAnimatedComponents 3
+
+hierarchy {
+	"root"	-1 0 0	//
+	"arm"	0 56 0	// root ( Qx Qy Qz )
+}
+
+bounds {
+	( -1 -1 -1 ) ( 3 3 1 )
+	( -1 -1 -1 ) ( 3 3 1 )
+}
+
+baseframe {
+	( 0 0 0 ) ( 0 0 0 )
+	( 1 0 0 ) ( 0 0 0 )
+}
+
+frame 0 {
+	 0 0 0
+}
+
+frame 1 {
+	 0 0 -0.70710678
+}
+"""
+
+
+class TestMD5:
+    def test_mesh_and_anim(self, tmp_path):
+        from cudatracerlib_tpu.io.md5 import (load_md5anim, load_md5mesh,
+                                              md5_corner_arrays)
+
+        mp = tmp_path / "beam.md5mesh"
+        mp.write_text(MD5MESH)
+        mesh = load_md5mesh(str(mp))
+        assert mesh.verts.shape == (4, 3)
+        assert mesh.tris.shape == (2, 3)
+        assert mesh.joint_names == ["root", "arm"]
+        # bind pose: weights 2/3 attach to joint "arm" at (1,0,0):
+        # vertex 2 = arm_pos + (1, 0.2, 0) = (2, 0.2, 0)
+        np.testing.assert_allclose(mesh.verts[2], [2, 0.2, 0], atol=1e-6)
+        np.testing.assert_allclose(mesh.verts[0], [0, 0, 0], atol=1e-6)
+        assert mesh.bone_ids[2, 0] == 1 and mesh.weights[2, 0] == 1.0
+
+        ap = tmp_path / "beam.md5anim"
+        ap.write_text(MD5ANIM)
+        anim = load_md5anim(str(ap))
+        assert anim.poses.shape == (2, 2, 4, 4)
+        assert anim.frame_rate == 24.0
+        # frame 0 = bind pose
+        np.testing.assert_allclose(anim.poses[0, 1, :3, 3], [1, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(anim.poses[0, 1, :3, :3], np.eye(3), atol=1e-6)
+        # frame 1: arm rotated +90deg about z at (1,0,0)
+        R = anim.poses[1, 1, :3, :3]
+        np.testing.assert_allclose(R @ [1, 0, 0], [0, 1, 0], atol=1e-5)
+
+        # LBS through the animation layer: tip vertex (2, 0.2, 0) bends to +y
+        tris, uvs, bid, bw, mids = md5_corner_arrays(mesh)
+        assert tris.shape == (2, 3, 3) and bid.shape == (2, 3, 4)
+        import jax.numpy as jnp
+
+        pose = jnp.asarray(anim.poses[1])
+        inv_bind = jnp.asarray(mesh.inv_bind)
+        palette = np.einsum("bij,bjk->bik", np.asarray(pose), np.asarray(inv_bind))
+        v = np.concatenate([mesh.verts, np.ones((4, 1))], -1)
+        skinned = np.einsum(
+            "vwij,vj->vwi",
+            palette[mesh.bone_ids], v)[:, :, :3]
+        skinned = (skinned * mesh.weights[..., None]).sum(1)
+        np.testing.assert_allclose(skinned[3], [1, 1, 0], atol=1e-5)
+        np.testing.assert_allclose(skinned[0], [0, 0, 0], atol=1e-5)
+
+
+MITSUBA_MEDIA_XML = """<?xml version="1.0"?>
+<scene version="0.5.0">
+    <sensor type="perspective">
+        <float name="fov" value="40"/>
+        <transform name="toWorld">
+            <lookat origin="0,-4,1" target="0,0,1" up="0,0,1"/>
+        </transform>
+    </sensor>
+    <emitter type="sunsky">
+        <float name="turbidity" value="4"/>
+        <vector name="sunDirection" x="0.3" y="0.2" z="0.9"/>
+    </emitter>
+    <shape type="shapegroup" id="twin">
+        <shape type="sphere">
+            <float name="radius" value="0.3"/>
+            <bsdf type="diffuse">
+                <rgb name="reflectance" value="0.2 0.6 0.2"/>
+            </bsdf>
+        </shape>
+    </shape>
+    <shape type="instance">
+        <ref id="twin"/>
+        <transform name="toWorld"><translate x="-1"/></transform>
+    </shape>
+    <shape type="instance">
+        <ref id="twin"/>
+        <transform name="toWorld"><translate x="1"/></transform>
+    </shape>
+    <shape type="cylinder">
+        <point name="p0" x="0" y="0" z="0"/>
+        <point name="p1" x="0" y="0" z="1"/>
+        <float name="radius" value="0.2"/>
+    </shape>
+    <shape type="cube">
+        <transform name="toWorld">
+            <translate x="0" y="0" z="1"/>
+        </transform>
+        <medium type="homogeneous" name="interior">
+            <rgb name="sigmaS" value="0.4 0.4 0.4"/>
+            <rgb name="sigmaA" value="0.05 0.05 0.05"/>
+            <phase type="hg">
+                <float name="g" value="0.6"/>
+            </phase>
+        </medium>
+    </shape>
+</scene>
+"""
+
+
+class TestMitsubaMedia:
+    def test_media_sunsky_instances(self, tmp_path):
+        from cudatracerlib_tpu.io.mitsuba import load_mitsuba_full
+        from cudatracerlib_tpu.scene import media as M
+        from cudatracerlib_tpu.scene import phase as PH
+
+        xml = tmp_path / "scene.xml"
+        xml.write_text(MITSUBA_MEDIA_XML)
+        scene, media = load_mitsuba_full(str(xml))
+        # sunsky = env map (Preetham) + sun directional
+        assert scene.n_lights == 2
+        env = np.asarray(scene.lights.env_map)
+        assert env.ndim == 3 and np.isfinite(env).all() and env.max() > 0
+
+        # media parsed with HG phase g=0.6 bounded by the cube AABB
+        assert media is not None
+        assert int(media.active[0]) == 1
+        np.testing.assert_allclose(np.asarray(media.sigma_s[0]), [0.4] * 3)
+        assert int(media.phase_type[0]) == PH.HG
+        np.testing.assert_allclose(float(media.phase_g[0]), 0.6)
+        bmin = np.asarray(media.box_min[0])
+        np.testing.assert_allclose(bmin, [-1, -1, 0], atol=1e-5)
+
+        # two instances + cylinder + cube geometry all present
+        # (2 spheres of same tri count, cylinder 64 tris, cube 12 tris)
+        assert scene.bvh.woop.shape[0] >= 64 + 12
+
+    def test_vol_grid_roundtrip(self, tmp_path):
+        import struct
+
+        from cudatracerlib_tpu.io.mitsuba import _load_vol
+        from cudatracerlib_tpu.scene import media as M
+
+        nx = ny = nz = 5
+        data = np.linspace(0.0, 1.0, nx * ny * nz).astype("<f4")
+        with open(tmp_path / "d.vol", "wb") as f:
+            f.write(b"VOL")
+            f.write(struct.pack("B", 3))
+            f.write(struct.pack("<i", 1))
+            f.write(struct.pack("<3i", nx, ny, nz))
+            f.write(struct.pack("<i", 1))
+            f.write(struct.pack("<6f", 0, 0, 0, 1, 1, 1))
+            f.write(data.tobytes())
+        d = _load_vol(str(tmp_path / "d.vol"), M.GRID_RES)
+        assert d is not None and d.shape == (M.GRID_RES,) * 3
+        assert 0.0 <= d.min() <= d.max() <= 1.0
+        assert d.std() > 0.01

@@ -1,0 +1,110 @@
+"""SPPM (per-pixel adaptive radii) + volumetric photon estimator tests.
+
+Covers the reference's k_AdaptiveStruct per-pixel statistics
+(PPPMTracer.h:61-146), the kNN radius scheme (PhotonMapHelper.h:23-41), and
+the VolEstimators (PointStorage/BeamGrid) against the volumetric path tracer.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cudatracerlib_tpu.render.path_tracer import PTConfig, render
+from cudatracerlib_tpu.render.sppm import (SPPMConfig, VOL_BEAM, VOL_POINT,
+                                           render_sppm_pass)
+from cudatracerlib_tpu.render.volpath import render_vol
+from cudatracerlib_tpu.scene import media as M
+from cudatracerlib_tpu.scene.shapes import cornell_box
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return cornell_box()
+
+
+def block_mean(img, b=4):
+    h, w, _ = img.shape
+    return img.reshape(h // b, b, w // b, b, 3).mean((1, 3))
+
+
+class TestSPPM:
+    def test_matches_path_tracer_and_radii_shrink(self, cornell):
+        W = H = 32
+        cfg = SPPMConfig(n_photons=1 << 15, radius0=0.07, max_gather=160,
+                         grid_res=32)
+        state = None
+        img = None
+        r2_after_first = None
+        for i in range(8):
+            img, state = render_sppm_pass(cornell, W, H, i, state, cfg)
+            if i == 0:
+                r2_after_first = np.asarray(state.r2)
+        img = np.asarray(img)
+
+        # SPPM radii shrink wherever photons were gathered
+        r2_final = np.asarray(state.r2)
+        gathered = np.asarray(state.n_acc) > 0
+        assert gathered.mean() > 0.5
+        assert (r2_final[gathered] <= r2_after_first[gathered] + 1e-12).all()
+        assert (r2_final[gathered] < 0.07**2 - 1e-9).any()
+
+        img_pt = np.zeros((H, W, 3))
+        for i in range(6):
+            img_pt += np.asarray(render(cornell, W, H, 16, i, PTConfig(max_depth=6))) / 6
+        rel = np.abs(block_mean(img) - block_mean(img_pt)).sum() / np.abs(
+            block_mean(img_pt)).sum()
+        assert np.isfinite(img).all()
+        assert rel < 0.15, rel
+
+    def test_knn_radii_adapt_per_pixel(self, cornell):
+        W = H = 32
+        cfg = SPPMConfig(n_photons=1 << 14, radius0=0.08, max_gather=160,
+                         grid_res=32, knn_target=12)
+        img, state = render_sppm_pass(cornell, W, H, 0, None, cfg)
+        r2 = np.asarray(state.r2)
+        gathered = np.asarray(state.n_acc) > 0
+        # per-pixel radii must actually vary (kNN density response)
+        assert r2[gathered].std() > 1e-6
+        assert (r2 <= (2 * 0.08) ** 2 + 1e-9).all()
+        assert (r2 >= (0.08 / 8.0) ** 2 - 1e-12).all()
+        assert np.isfinite(np.asarray(img)).all()
+
+
+class TestVolumetricEstimators:
+    @pytest.fixture(scope="class")
+    def medium(self, cornell):
+        lo = np.asarray(cornell.bvh.world_min)
+        hi = np.asarray(cornell.bvh.world_max)
+        return M.Media.build([
+            dict(sigma_a=[0.02] * 3, sigma_s=[0.25] * 3,
+                 box_min=lo + 0.05, box_max=hi - 0.05, phase_g=0.0)
+        ])
+
+    def _ref(self, cornell, medium):
+        W = H = 32
+        img = np.zeros((H, W, 3))
+        n = 6
+        for i in range(n):
+            img += np.asarray(
+                render_vol(cornell, medium, W, H, 16, i,
+                           PTConfig(max_depth=6))) / n
+        return img
+
+    @pytest.mark.parametrize("est", [VOL_BEAM, VOL_POINT])
+    def test_matches_volpath(self, cornell, medium, est):
+        W = H = 32
+        cfg = SPPMConfig(n_photons=1 << 15, radius0=0.07, max_gather=160,
+                         grid_res=32, vol_estimator=est, vol_radius0=0.12,
+                         vol_steps=24, vol_max_gather=128)
+        state = None
+        img = None
+        for i in range(8):
+            img, state = render_sppm_pass(cornell, W, H, i, state, cfg,
+                                          media=medium)
+        img = np.asarray(img)
+        ref = self._ref(cornell, medium)
+        rel = np.abs(block_mean(img) - block_mean(ref)).sum() / np.abs(
+            block_mean(ref)).sum()
+        assert np.isfinite(img).all()
+        # photon-based volumetric estimate vs unidirectional volpath: loose
+        # statistical agreement (kernel bias + camera-segment-only in-scatter)
+        assert rel < 0.3, rel
