@@ -354,6 +354,25 @@ def _shape_geometry(node, props, sb: _SceneBuilder, to_world):
         c = props.get("center", np.zeros(3, np.float32))
         r = props.get("radius", 1.0)
         return sphere_shape(c, r, n_theta=24, n_phi=48), None, None
+    if stype == "serialized":
+        from .serialized import load_serialized
+
+        fn = os.path.join(sb.base_dir, props.get("filename", ""))
+        if not os.path.exists(fn):
+            return None, None, None
+        mesh = load_serialized(fn, int(props.get("shapeIndex",
+                                                 props.get("shape_index", 0))))
+        if mesh is None:
+            return None, None, None
+        return mesh.vertices, mesh.normals, mesh.uvs
+    if stype == "hair":
+        from .hair import load_hair
+
+        fn = os.path.join(sb.base_dir, props.get("filename", ""))
+        if not os.path.exists(fn):
+            return None, None, None
+        v = load_hair(fn, radius=float(props.get("radius", 0.025)))
+        return (v, None, None) if v is not None else (None, None, None)
     if stype == "cylinder":
         p0 = np.asarray(props.get("p0", [0, 0, 0]), np.float32)
         p1 = np.asarray(props.get("p1", [0, 0, 1]), np.float32)

@@ -70,6 +70,8 @@ class SPPMConfig(NamedTuple):
     vol_radius0: float = 0.1
     vol_steps: int = 24          # ray-march steps for VOL_POINT
     vol_max_gather: int = 32
+    # one-bounce final gathering at the gather vertex (EyePass.cu:16-41)
+    final_gather: bool = False
 
 
 class SPPMState(NamedTuple):
@@ -415,18 +417,22 @@ def _sppm_impl(scene: Scene, media: media_mod.Media, width: int, height: int,
     it_g = it_g._replace(p=final.gp)
     mp_g = gather_mat_params(scene, it_g, cfg.tex_types)
     s = final.smp
-    s, u_sel = s.next_1d()
-    s, u_l2 = s.next_2d()
-    if scene.n_lights > 0:
+
+    def _direct_light(mp, frame, p, n_geo, wo_world, gathered, s):
+        """One-sample NEE at a gather/final-gather vertex; returns (L, s)."""
+        s, u_sel = s.next_1d()
+        s, u_l2 = s.next_2d()
+        if scene.n_lights == 0:
+            return jnp.zeros(p.shape[:-1] + (3,)), s
         lsel, lpmf, _ = _select_light(scene, u_sel)
         lpmf = jax.lax.stop_gradient(lpmf)
-        ds, Lrad = lights_mod.sample_direct(scene.lights, lsel, final.gp, u_l2,
+        ds, Lrad = lights_mod.sample_direct(scene.lights, lsel, p, u_l2,
                                             active=cfg.light_types)
         f_l, _ = bsdf_mod.eval_bsdf(
-            mp_g, it_g.frame.to_local(final.gwo), it_g.frame.to_local(ds.d),
+            mp, frame.to_local(wo_world), frame.to_local(ds.d),
             active=cfg.bsdf_types,
         )
-        sh_o = _offset_ray(final.gp, final.gn, ds.d, cfg.ray_eps)
+        sh_o = _offset_ray(p, n_geo, ds.d, cfg.ray_eps)
         blocked = scene_mod.scene_occluded(scene, sh_o, ds.d, cfg.ray_eps,
                                            ds.dist - 2 * cfg.ray_eps)
         tr_sh = 1.0
@@ -434,40 +440,64 @@ def _sppm_impl(scene: Scene, media: media_mod.Media, width: int, height: int,
             tr_sh = media_mod.transmittance(media, sh_o, ds.d, cfg.ray_eps,
                                             ds.dist - 2.0 * cfg.ray_eps)
         pdf_l = jnp.where(ds.measure == 2, 1.0, jax.lax.stop_gradient(ds.pdf)) * lpmf
-        ok = final.gathered & ~blocked & (ds.pdf > 0) & (lpmf > 0)
-        L_pass = L_pass + jnp.where(
+        ok = gathered & ~blocked & (ds.pdf > 0) & (lpmf > 0)
+        return jnp.where(
             ok[..., None],
-            final.gw * f_l * Lrad * tr_sh / jnp.maximum(pdf_l, 1e-12)[..., None], 0.0)
+            f_l * Lrad * tr_sh / jnp.maximum(pdf_l, 1e-12)[..., None], 0.0), s
 
-    # ---- adaptive surface gather (k_AdaptiveStruct update) ----
+    L_nee, s = _direct_light(mp_g, it_g.frame, final.gp, final.gn, final.gwo,
+                             final.gathered, s)
+    L_pass = L_pass + final.gw * L_nee
+
     # query radius covers the largest radius any pixel may hold: kNN radii can
     # grow to 2*r0 (grid cell size is derived from 2*r0 in render_sppm_pass)
     q_radius = 2.0 * config.radius0 if config.knn_target > 0 else config.radius0
-    idx, valid_n = hashgrid.query_sphere(grid, final.gp, q_radius, config.max_gather)
-    ph_p = pm.p[idx]
-    ph_pow = pm.power[idx]
-    ph_wi = pm.wi[idx]
-    ph_n = pm.n[idx]
-    ph_ok = valid_n & pm.valid[idx] & final.gathered[:, None]
-    d2 = jnp.sum((ph_p - final.gp[:, None, :]) ** 2, axis=-1)
-    in_r = d2 < state.r2[:, None]
-    n_ok = jnp.sum(ph_n * final.gn[:, None, :], axis=-1) > 0.7
-    use = ph_ok & in_r & n_ok
 
-    wo_l = it_g.frame.to_local(final.gwo)[:, None, :]
-    wi_l = jnp.stack(
-        [
-            jnp.einsum("bkc,bc->bk", ph_wi, it_g.frame.s),
-            jnp.einsum("bkc,bc->bk", ph_wi, it_g.frame.t),
-            jnp.einsum("bkc,bc->bk", ph_wi, it_g.frame.n),
-        ],
-        axis=-1,
-    )
-    mp_b = jax.tree.map(lambda a: a[:, None] if a.ndim == 1 else a[:, None, :], mp_g)
-    f_ph, _ = bsdf_mod.eval_bsdf(mp_b, jnp.broadcast_to(wo_l, wi_l.shape), wi_l,
-                                 active=cfg.bsdf_types)
-    cos_i = jnp.abs(wi_l[..., 2])
-    f_raw = f_ph / jnp.maximum(cos_i, 1e-6)[..., None]
+    # ---- final gathering (PPPMTracer_EyePass.cu:16-41): one BSDF sample from
+    # the gather vertex, density estimate at the secondary hit instead ----
+    if config.final_gather:
+        s, u_fg2 = s.next_2d()
+        s, u_fg1 = s.next_1d()
+        bs_fg = bsdf_mod.sample_bsdf(mp_g, it_g.frame.to_local(final.gwo),
+                                     u_fg2, u_fg1, active=cfg.bsdf_types)
+        wi_fg = it_g.frame.to_world(bs_fg.wi)
+        fg_o = _offset_ray(final.gp, final.gn, wi_fg, cfg.ray_eps)
+        hit2 = scene_mod.scene_intersect(scene, fg_o, wi_fg)
+        it2 = make_interaction(scene, fg_o, wi_fg, hit2)
+        mp2 = gather_mat_params(scene, it2, cfg.tex_types)
+        ok2 = final.gathered & hit2.valid & (bs_fg.pdf > 0) \
+            & bsdf_mod.is_smooth(mp2)
+        r0 = jnp.float32(config.radius0)
+        d2f, okf, nokf, frawf, powf = _gather_parts(
+            grid, pm, it2.frame, it2.p, it2.frame.n, -wi_fg, ok2, mp2,
+            q_radius, config.max_gather, cfg)
+        use_f = okf & (d2f < r0 * r0) & nokf
+        # constant-kernel density estimate of outgoing radiance at the FG hit
+        L_ind2 = jnp.sum(jnp.where(use_f[..., None], frawf * powf, 0.0),
+                         axis=1) / (PI * r0 * r0)
+        # direct light at the FG hit (the photon map excludes direct deposits)
+        L_dir2, s = _direct_light(mp2, it2.frame, it2.p, it2.n_geo, -wi_fg,
+                                  ok2, s)
+        L_pass = L_pass + jnp.where(
+            ok2[..., None],
+            final.gw * bs_fg.weight * (L_ind2 + L_dir2), 0.0)
+
+    # ---- adaptive surface gather (k_AdaptiveStruct update) ----
+    if config.final_gather:
+        # final gathering replaces the density estimate at the primary vertex;
+        # the adaptive statistics stay frozen (no tau/radius updates)
+        new_state = SPPMState(
+            r2=state.r2, n_acc=state.n_acc, tau=state.tau,
+            l_other=state.l_other + L_pass * w_cam,
+            n_passes=state.n_passes + 1,
+        )
+        return sppm_develop(new_state, width, height), new_state
+
+    d2, ph_ok, n_ok, f_raw, ph_pow = _gather_parts(
+        grid, pm, it_g.frame, final.gp, final.gn, final.gwo, final.gathered,
+        mp_g, q_radius, config.max_gather, cfg)
+    in_r = d2 < state.r2[:, None]
+    use = ph_ok & in_r & n_ok
     # unnormalized per-pass flux phi = sum f * Phi (constant kernel; the SPPM
     # ratio handles normalization via pi r^2 at develop time)
     phi = jnp.sum(jnp.where(use[..., None], f_raw * ph_pow, 0.0), axis=1)
@@ -514,6 +544,36 @@ def _sppm_impl(scene: Scene, media: media_mod.Media, width: int, height: int,
 
     img = sppm_develop(new_state, width, height)
     return img, new_state
+
+
+def _gather_parts(grid, pm: PhotonMap, frame, gp, gn, gwo, gathered, mp,
+                  q_radius, max_gather: int, cfg: PTConfig):
+    """Shared photon-gather machinery: returns per-candidate (d2, validity,
+    normal agreement, raw BSDF value toward each photon, photon power)."""
+    idx, valid_n = hashgrid.query_sphere(grid, gp, q_radius, max_gather)
+    ph_p = pm.p[idx]
+    ph_pow = pm.power[idx]
+    ph_wi = pm.wi[idx]
+    ph_n = pm.n[idx]
+    ph_ok = valid_n & pm.valid[idx] & gathered[:, None]
+    d2 = jnp.sum((ph_p - gp[:, None, :]) ** 2, axis=-1)
+    n_ok = jnp.sum(ph_n * gn[:, None, :], axis=-1) > 0.7
+
+    wo_l = frame.to_local(gwo)[:, None, :]
+    wi_l = jnp.stack(
+        [
+            jnp.einsum("bkc,bc->bk", ph_wi, frame.s),
+            jnp.einsum("bkc,bc->bk", ph_wi, frame.t),
+            jnp.einsum("bkc,bc->bk", ph_wi, frame.n),
+        ],
+        axis=-1,
+    )
+    mp_b = jax.tree.map(lambda a: a[:, None] if a.ndim == 1 else a[:, None, :], mp)
+    f_ph, _ = bsdf_mod.eval_bsdf(mp_b, jnp.broadcast_to(wo_l, wi_l.shape), wi_l,
+                                 active=cfg.bsdf_types)
+    cos_i = jnp.abs(wi_l[..., 2])
+    f_raw = f_ph / jnp.maximum(cos_i, 1e-6)[..., None]
+    return d2, ph_ok, n_ok, f_raw, ph_pow
 
 
 def sppm_develop(state: SPPMState, width: int, height: int):

@@ -424,3 +424,59 @@ class TestMitsubaMedia:
         assert d is not None and d.shape == (M.GRID_RES,) * 3
         assert 0.0 <= d.min() <= d.max() <= 1.0
         assert d.std() > 0.01
+
+
+class TestSerialized:
+    def test_roundtrip(self, tmp_path):
+        from cudatracerlib_tpu.io.serialized import (load_serialized,
+                                                     save_serialized)
+
+        rng = np.random.default_rng(0)
+        v1 = rng.normal(size=(10, 3)).astype(np.float32)
+        t1 = np.asarray([[0, 1, 2], [3, 4, 5], [6, 7, 8]], np.uint32)
+        n1 = rng.normal(size=(10, 3)).astype(np.float32)
+        uv1 = rng.uniform(size=(10, 2)).astype(np.float32)
+        v2 = rng.normal(size=(6, 3)).astype(np.float32)
+        t2 = np.asarray([[0, 1, 2], [3, 4, 5]], np.uint32)
+        p = str(tmp_path / "m.serialized")
+        save_serialized(p, [(v1, t1, n1, uv1, "a"), (v2, t2, None, None, "b")])
+
+        m0 = load_serialized(p, 0)
+        assert m0 is not None and m0.name == "a"
+        np.testing.assert_allclose(m0.vertices, v1[t1], atol=1e-6)
+        np.testing.assert_allclose(m0.normals, n1[t1], atol=1e-6)
+        np.testing.assert_allclose(m0.uvs, uv1[t1], atol=1e-6)
+        m1 = load_serialized(p, 1)
+        assert m1 is not None and m1.name == "b" and m1.normals is None
+        np.testing.assert_allclose(m1.vertices, v2[t2], atol=1e-6)
+
+
+class TestHair:
+    def test_text_strands(self, tmp_path):
+        from cudatracerlib_tpu.io.hair import load_hair
+
+        p = tmp_path / "h.hair"
+        p.write_text("0 0 0\n0 0 1\n0 0 2\n\n1 0 0\n1 0 1\n")
+        tris = load_hair(str(p), radius=0.01)
+        # 3 segments * 2 tris
+        assert tris.shape == (6, 3, 3)
+        assert np.isfinite(tris).all()
+        # ribbon width ~ 2 * radius
+        seg0 = tris[0]
+        w = np.linalg.norm(seg0[1] - seg0[0])
+        np.testing.assert_allclose(w, 0.02, rtol=1e-4)
+
+    def test_binary_strands(self, tmp_path):
+        import struct
+
+        from cudatracerlib_tpu.io.hair import load_hair
+
+        pts = [(0, 0, 0), (0, 0, 1), (float("inf"),),
+               (1, 0, 0), (1, 0, 1)]
+        blob = b"BINARY_HAIR" + struct.pack("<I", 4)
+        for t in pts:
+            blob += struct.pack(f"<{len(t)}f", *t)
+        p = tmp_path / "h.hair"
+        p.write_bytes(blob)
+        tris = load_hair(str(p), radius=0.01)
+        assert tris.shape == (4, 3, 3)

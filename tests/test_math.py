@@ -349,3 +349,56 @@ class TestSpline:
         expect = (np.asarray(p3[:, 2]) + 2 * np.asarray(p3[:, 1])
                   + 3 * np.asarray(p3[:, 0]))
         np.testing.assert_allclose(np.asarray(y3), expect, atol=2e-4)
+
+
+class TestMergingModel:
+    """Math/FunctionModel.h MergingModel: fixed-knot adaptive 1-D approx."""
+
+    def test_exact_below_capacity(self):
+        import jax.numpy as jnp
+        from cudatracerlib_tpu.math.function_model import (merging_eval,
+                                                           merging_init,
+                                                           merging_insert)
+
+        m = merging_init(8)
+        pts = [(0.0, 1.0), (1.0, 3.0), (0.5, 2.0), (0.25, 1.5)]
+        for x, y in pts:
+            m = merging_insert(m, x, y)
+        assert int(m.n) == 4
+        # exact at knots, linear between
+        for x, y in pts:
+            np.testing.assert_allclose(float(merging_eval(m, x)), y, atol=1e-6)
+        np.testing.assert_allclose(float(merging_eval(m, 0.75)), 2.5, atol=1e-6)
+
+    def test_merge_preserves_linear_function(self):
+        import jax
+        import jax.numpy as jnp
+        from cudatracerlib_tpu.math.function_model import (merging_eval,
+                                                           merging_init,
+                                                           merging_insert)
+
+        # feeding y = 2x + 1 through a 6-knot model: interior points on the
+        # line are free to merge, so the approximation stays exact
+        m = merging_init(6)
+        ins = jax.jit(merging_insert)
+        rng = np.random.default_rng(0)
+        for x in rng.uniform(0, 1, 40):
+            m = ins(m, jnp.float32(x), jnp.float32(2 * x + 1))
+        assert int(m.n) == 6
+        for x in [0.1, 0.4, 0.8]:
+            np.testing.assert_allclose(float(merging_eval(m, x)), 2 * x + 1,
+                                       atol=1e-3)
+
+    def test_batched_models(self):
+        import jax.numpy as jnp
+        from cudatracerlib_tpu.math.function_model import (merging_eval,
+                                                           merging_init,
+                                                           merging_insert)
+
+        m = merging_init(4, batch_shape=(3,))
+        m = merging_insert(m, jnp.asarray([0.0, 0.0, 0.0]),
+                           jnp.asarray([1.0, 2.0, 3.0]))
+        m = merging_insert(m, jnp.asarray([1.0, 1.0, 1.0]),
+                           jnp.asarray([2.0, 4.0, 6.0]))
+        v = np.asarray(merging_eval(m, jnp.asarray([0.5, 0.5, 0.5])))
+        np.testing.assert_allclose(v, [1.5, 3.0, 4.5], atol=1e-6)

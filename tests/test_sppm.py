@@ -55,6 +55,24 @@ class TestSPPM:
         assert np.isfinite(img).all()
         assert rel < 0.15, rel
 
+    def test_final_gathering_matches_pt(self, cornell):
+        W = H = 32
+        cfg = SPPMConfig(n_photons=1 << 15, radius0=0.1, max_gather=160,
+                         grid_res=32, final_gather=True)
+        state = None
+        img = None
+        for i in range(10):
+            img, state = render_sppm_pass(cornell, W, H, i, state, cfg)
+        img = np.asarray(img)
+        img_pt = np.zeros((H, W, 3))
+        for i in range(6):
+            img_pt += np.asarray(render(cornell, W, H, 16, i, PTConfig(max_depth=6))) / 6
+        rel = np.abs(block_mean(img) - block_mean(img_pt)).sum() / np.abs(
+            block_mean(img_pt)).sum()
+        assert np.isfinite(img).all()
+        # FG is noisier per pass; statistical agreement only
+        assert rel < 0.2, rel
+
     def test_knn_radii_adapt_per_pixel(self, cornell):
         W = H = 32
         cfg = SPPMConfig(n_photons=1 << 14, radius0=0.08, max_gather=160,
