@@ -102,6 +102,51 @@ def query_sphere(grid: HashGrid, centers, radius, max_neighbors: int):
     return grid.order[src_c], valid
 
 
+def query_sphere_sampled(grid: HashGrid, centers, max_neighbors: int):
+    """Neighborhood query with *systematic subsampling*: when the 3x3x3-cell
+    candidate count N exceeds `max_neighbors` (K), returns every
+    ceil(N/K)-th candidate and a per-query weight N/K that makes weighted
+    sums over the returned set unbiased. A plain first-K truncation (what
+    fixed-capacity photon grids, including the reference's, effectively do)
+    is biased low as soon as cells saturate; systematic sampling trades that
+    bias for variance.
+
+    Returns (idx (B, K) int32 into the original point array, valid (B, K),
+    weight (B,) float32)."""
+    res = grid.res
+    B = centers.shape[0]
+    K = max_neighbors
+    q = jnp.floor((centers - grid.box_min) * grid.inv_cell).astype(jnp.int32)
+    offs = jnp.asarray(
+        [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+        jnp.int32,
+    )
+    qq_raw = q[:, None, :] + offs[None, :, :]
+    qq = jnp.clip(qq_raw, 0, res - 1)
+    is_center = jnp.all(offs == 0, axis=-1)[None, :]
+    is_dup = jnp.any(qq != qq_raw, axis=-1) & ~is_center
+    cid = (qq[..., 0] * res + qq[..., 1]) * res + qq[..., 2]
+    start = grid.cell_start[cid]
+    end = grid.cell_start[cid + 1]
+    count = jnp.where(is_dup, 0, end - start)
+
+    cum = jnp.cumsum(count, axis=1)
+    n_total = cum[:, -1]                                          # (B,)
+    stride = jnp.maximum(n_total.astype(jnp.float32) / K, 1.0)    # (B,)
+    k = jnp.arange(K, dtype=jnp.float32)[None, :]
+    g = jnp.floor(k * stride[:, None]).astype(count.dtype)        # (B, K)
+    valid = g < n_total[:, None]
+
+    cell_sel = jnp.sum((cum[:, :, None] <= g[:, None, :]).astype(jnp.int32), axis=1)
+    cell_sel = jnp.minimum(cell_sel, 26)
+    cum_before = jnp.take_along_axis(cum, cell_sel, axis=1) - jnp.take_along_axis(
+        count, cell_sel, axis=1
+    )
+    src = jnp.take_along_axis(start, cell_sel, axis=1) + (g - cum_before)
+    src_c = jnp.clip(src, 0, grid.order.shape[0] - 1)
+    return grid.order[src_c], valid, stride
+
+
 def query_reduce(grid: HashGrid, points_sorted_payload, centers, radius,
                  max_neighbors: int, reduce_fn, init):
     """Convenience: gather neighbors and fold `reduce_fn(acc, payload, valid)`."""

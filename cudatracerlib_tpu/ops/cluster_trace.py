@@ -74,13 +74,14 @@ def _slab_near(lo, hi, ox, oy, oz, idx, idy, idz, tmin, tmax):
 
 
 def _cluster_kernel(sup_ref, cl_ref, rays_ref, woop_hbm, t_ref, code_ref,
-                    u_ref, v_ref, scratch, sup_t, cl_t, sem, *, n_super,
+                    u_ref, v_ref, scratch, sup_t, queue, sem, *, n_super,
                     any_hit):
     """Front-to-back ordered cluster traversal (see module docstring).
 
-    sup_t / cl_t are SMEM scratch arrays holding per-super / per-cluster tile
-    entry distances; a selection loop visits boxes near-to-far so best_t
-    tightens early and distant boxes prune to `any() == False`."""
+    sup_t is an SMEM array of per-super tile entry distances; a selection
+    loop visits supers near-to-far so best_t tightens early and distant boxes
+    prune to `any() == False`. `queue` holds the current super's passing
+    cluster ids for the double-buffered DMA pipeline."""
     ox = rays_ref[0]
     oy = rays_ref[1]
     oz = rays_ref[2]
@@ -100,13 +101,9 @@ def _cluster_kernel(sup_ref, cl_ref, rays_ref, woop_hbm, t_ref, code_ref,
 
     INF = jnp.float32(3e30)
 
-    def intersect_cluster(c):
-        dma = pltpu.make_async_copy(woop_hbm.at[c], scratch, sem)
-        dma.start()
-        dma.wait()
-
+    def test_cluster_tris(slot, c):
         def tri_body(t, _):
-            w = [scratch[k, t] for k in range(12)]
+            w = [scratch[slot, k, t] for k in range(12)]
             oz_p = w[8] * ox + w[9] * oy + w[10] * oz + w[11]
             dz_p = w[8] * dx + w[9] * dy + w[10] * dz
             inv_dz = 1.0 / jnp.where(jnp.abs(dz_p) < 1e-20, 1e-20, dz_p)
@@ -118,13 +115,26 @@ def _cluster_kernel(sup_ref, cl_ref, rays_ref, woop_hbm, t_ref, code_ref,
             uu = w[0] * px + w[1] * py + w[2] * pz + w[3]
             vv = w[4] * px + w[5] * py + w[6] * pz + w[7]
             ok = ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-            t_ref[...] = jnp.where(ok, th, t_ref[...])
+            if any_hit:
+                # occlusion query: any hit ends the lane — collapsing its t
+                # to tmin makes every later slab test fail for that lane, and
+                # the pick_super live check (max over t) stops the tile once
+                # every lane is occluded (shadow rays are half of all work)
+                t_ref[...] = jnp.where(ok, tmin, t_ref[...])
+            else:
+                t_ref[...] = jnp.where(ok, th, t_ref[...])
             code_ref[...] = jnp.where(ok, c * CLUSTER_TRIS + t, code_ref[...])
             u_ref[...] = jnp.where(ok, uu, u_ref[...])
             v_ref[...] = jnp.where(ok, vv, v_ref[...])
             return 0
 
         jax.lax.fori_loop(0, CLUSTER_TRIS, tri_body, 0)
+
+    def intersect_cluster(c):
+        dma = pltpu.make_async_copy(woop_hbm.at[c], scratch.at[0], sem.at[0])
+        dma.start()
+        dma.wait()
+        test_cluster_tris(0, c)
 
     def process_super(s):
         # clusters gated per-box; Morton layout gives rough front-to-back
@@ -173,10 +183,48 @@ def _cluster_kernel(sup_ref, cl_ref, rays_ref, woop_hbm, t_ref, code_ref,
     jax.lax.fori_loop(0, n_super, pick_super, True)
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit",))
+def _coherence_key(cs: ClusterScene, o, d):
+    """Sort key restoring tile coherence for incoherent (bounce) batches:
+    direction octant (high bits) then 6-bit-per-axis Morton code of the
+    origin. The kernel's any-lane pruning only pays off when a tile's rays
+    agree on which boxes they can touch — the CUDA reference gets this from
+    warp-coherent persistent threads; here a batch sort does the same job."""
+    wmin = jnp.min(cs.cluster_boxes[:, 0:3], axis=0)
+    wmax = jnp.max(
+        jnp.where(cs.cluster_boxes[:, 3:6] > 1e29, -1e30, cs.cluster_boxes[:, 3:6]),
+        axis=0,
+    )
+    q = jnp.clip((o - wmin) / jnp.maximum(wmax - wmin, 1e-9), 0.0, 1.0)
+    qi = (q * 63.0).astype(jnp.uint32)                       # 6 bits/axis
+
+    def spread(x):  # canonical 3-D Morton bit spread (<=10-bit inputs)
+        x = (x | (x << 16)) & jnp.uint32(0x30000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x30C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x9249249)
+        return x
+
+    morton = spread(qi[:, 0]) | (spread(qi[:, 1]) << 1) | (spread(qi[:, 2]) << 2)
+    octant = ((d[:, 0] > 0).astype(jnp.uint32)
+              | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
+              | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
+    return (octant << jnp.uint32(18)) | morton
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "sort_rays"))
 def intersect_clusters(cs: ClusterScene, o, d, t_min=1e-4, t_max=1e30,
-                       any_hit: bool = False) -> Hit:
+                       any_hit: bool = False, sort_rays: bool = True) -> Hit:
     """Trace a ray batch against a cluster-decomposed scene."""
+    if sort_rays:
+        key = _coherence_key(cs, o, d)
+        order = jnp.argsort(key)
+        inv_order = jnp.argsort(order)
+        tmin_s = t_min[order] if jnp.ndim(t_min) > 0 else t_min
+        tmax_s = t_max[order] if jnp.ndim(t_max) > 0 else t_max
+        hit = intersect_clusters(cs, o[order], d[order], tmin_s, tmax_s,
+                                 any_hit=any_hit, sort_rays=False)
+        return Hit(t=hit.t[inv_order], prim=hit.prim[inv_order],
+                   bary=hit.bary[inv_order], valid=hit.valid[inv_order])
     B = o.shape[0]
     n_super = cs.super_boxes.shape[0]
     block = SUB * LANES
@@ -225,10 +273,10 @@ def intersect_clusters(cs: ClusterScene, o, d, t_min=1e-4, t_max=1e30,
         out_specs=[ospec, ospec, ospec, ospec],
         out_shape=[oshape, oshape_i, oshape, oshape],
         scratch_shapes=[
-            pltpu.SMEM((16, CLUSTER_TRIS), jnp.float32),
+            pltpu.SMEM((2, 16, CLUSTER_TRIS), jnp.float32),
             pltpu.SMEM((n_super,), jnp.float32),
-            pltpu.SMEM((SUPER_WAY,), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((SUPER_WAY,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(100e6),

@@ -46,14 +46,26 @@ from .path_tracer import PTConfig, _offset_ray, _select_light, specialize_config
 from .ppm import PPM_ALPHA, PhotonMap
 
 VOL_NONE = 0
-VOL_POINT = 1   # ray marching + 3-D kernel (VolEstimators/PointStorage.h)
-VOL_BEAM = 2    # camera-beam x photon-point, 2-D kernel (VolEstimators/BeamGrid.h)
+VOL_POINT = 1     # ray marching + 3-D kernel (VolEstimators/PointStorage.h)
+VOL_BEAM = 2      # camera-beam x photon-point, 2-D kernel (VolEstimators/BeamGrid.h)
+VOL_BEAMBEAM = 3  # photon-beam x camera-beam, 1-D kernel (VolEstimators/BeamBeamGrid.h)
 
 
 class VolPhotonMap(NamedTuple):
     p: jnp.ndarray        # (P, 3) scatter positions
     power: jnp.ndarray    # (P, 3) post-albedo flux / n_emitted
     wi: jnp.ndarray       # (P, 3) direction toward the light path origin
+    valid: jnp.ndarray    # (P,)
+
+
+class PhotonBeams(NamedTuple):
+    """Photon flight segments through media (BeamBeamGrid storage): each
+    medium-crossing scan step of the photon walk emits one beam carrying the
+    power *entering* the segment (pre-collision)."""
+    o: jnp.ndarray        # (P, 3) segment origin
+    d: jnp.ndarray        # (P, 3) unit direction
+    t: jnp.ndarray        # (P,) segment length
+    power: jnp.ndarray    # (P, 3) entering flux / n_emitted
     valid: jnp.ndarray    # (P,)
 
 
@@ -70,6 +82,7 @@ class SPPMConfig(NamedTuple):
     vol_radius0: float = 0.1
     vol_steps: int = 24          # ray-march steps for VOL_POINT
     vol_max_gather: int = 32
+    beam_samples: int = 16       # grid sample points per photon beam
     # one-bounce final gathering at the gather vertex (EyePass.cu:16-41)
     final_gather: bool = False
 
@@ -95,13 +108,13 @@ def sppm_init(n_pixels_samples: int, radius0: float) -> SPPMState:
 
 
 def trace_photons_vol(scene: Scene, media: media_mod.Media, n_photons: int,
-                      seed, config: PTConfig):
+                      seed, config: PTConfig, with_beams: bool = False):
     """Media-aware photon pass: emitter walk through surfaces *and* volumes.
 
     Extends ppm.trace_photons (ParticleProcess equivalent) with medium events
     (reference PPPMTracer_PhotonPass.cu:30-90 stores into the volumetric
     estimator at every medium interaction). Returns (surface PhotonMap,
-    VolPhotonMap)."""
+    VolPhotonMap[, PhotonBeams if with_beams])."""
     B = n_photons
     smp = Sampler.create(seed, jnp.arange(B, dtype=jnp.uint32), jnp.uint32(0xF00D))
     smp, u_sel = smp.next_1d()
@@ -151,6 +164,14 @@ def trace_photons_vol(scene: Scene, media: media_mod.Media, n_photons: int,
             -c.d,
             medium_event,
         )
+        # photon beam = this flight segment, carrying the ENTERING power
+        # (BeamBeamGrid storage; the estimator applies sigma_s at the virtual
+        # scatter point, so the beam power is pre-collision)
+        t_end = jnp.where(scat, t_m, jnp.minimum(t_surf, 1e4))
+        beam_valid = c.alive & media_mod.segment_in_media(
+            media, c.o, c.d, config.ray_eps, t_end)
+        beam = (c.o, c.d, t_end, jnp.where(beam_valid[..., None], c.w, 0.0),
+                beam_valid)
 
         # continue: phase sample at medium events, BSDF sample at surfaces
         s, u2 = s.next_2d()
@@ -182,21 +203,28 @@ def trace_photons_vol(scene: Scene, media: media_mod.Media, n_photons: int,
             alive=cont,
             smp=s,
         )
-        return new, (surf_photon, vol_photon)
+        return new, (surf_photon, vol_photon, beam)
 
-    _, (surf, vol) = jax.lax.scan(bounce, init, jnp.arange(config.max_depth))
+    _, (surf, vol, beams) = jax.lax.scan(bounce, init,
+                                         jnp.arange(config.max_depth))
     flat = lambda x: x.reshape((-1,) + x.shape[2:])
     sp, spow, swi, sn, sval = surf
     vp, vpow, vwi, vval = vol
-    return (
+    out = (
         PhotonMap(p=flat(sp), power=flat(spow) / n_photons, wi=flat(swi),
                   n=flat(sn), valid=flat(sval)),
         VolPhotonMap(p=flat(vp), power=flat(vpow) / n_photons, wi=flat(vwi),
                      valid=flat(vval)),
     )
+    if not with_beams:
+        return out
+    bo, bd, bt, bpow, bval = beams
+    return out + (PhotonBeams(o=flat(bo), d=flat(bd), t=flat(bt),
+                              power=flat(bpow) / n_photons, valid=flat(bval)),)
 
 
-def _finish_beam(media, o, d, t_mid, ph_wi, ph_pow, use, k2, B, n_steps):
+def _finish_beam(media, o, d, t_mid, ph_wi, ph_pow, use, k2, B, n_steps,
+                 qw=None):
     # transmittance Tr(0 -> t_mid) per step (cheap: closed form / quadrature
     # per segment via media.transmittance on each prefix is O(S^2); instead
     # integrate incrementally with the same fixed-step quadrature)
@@ -209,6 +237,8 @@ def _finish_beam(media, o, d, t_mid, ph_wi, ph_pow, use, k2, B, n_steps):
     ph = phase_mod.eval_phase(pt, pg, ph_wi, wo)
     contrib = jnp.where(use[..., None], ph_pow * (ph * k2)[..., None], 0.0)
     per_step = jnp.sum(contrib, axis=2)                     # (B, S, 3)
+    if qw is not None:
+        per_step = per_step * qw[..., None]
     return jnp.sum(per_step * tr_steps, axis=1)             # (B, 3)
 
 
@@ -227,6 +257,83 @@ def _prefix_transmittance(media: media_mod.Media, o, d, t_mid):
     return jnp.exp(-jnp.cumsum(tau_tot, axis=1))
 
 
+def _beambeam_estimate(media: media_mod.Media, grid: hashgrid.HashGrid,
+                       beams: PhotonBeams, samples_per_beam: int,
+                       o, d, t_max, radius, max_gather: int, n_steps: int):
+    """Photon-beam x camera-beam estimate with a 1-D kernel on the line-line
+    distance (VolEstimators/BeamBeamGrid.h; Jarosz et al. photon beams):
+
+      L = sum_beams K1(dist) p(theta) Phi Tr_cam(t_c) Tr_beam(t_b)
+          sigma_s(x) / sin(theta)
+
+    Grid storage: each beam is sampled at `samples_per_beam` points whose
+    cell ids index the CSR grid; payload = beam_id * S + sample_k, deduped at
+    query time by requiring the closest-approach parameter t_b to fall in
+    sample k's sub-segment and t_c in the camera step's cell. Tr_beam uses the
+    locally-constant sigma_t(x) approximation (exact for homogeneous media)."""
+    B = o.shape[0]
+    SB = samples_per_beam
+    t_cam = jnp.minimum(t_max, 1e4)
+    dt = t_cam / n_steps
+    t_mid = (jnp.arange(n_steps, dtype=jnp.float32)[None, :] + 0.5) * dt[:, None]
+    centers = o[:, None, :] + d[:, None, :] * t_mid[..., None]
+    idx, vmask, qw = hashgrid.query_sphere_sampled(grid, centers.reshape(-1, 3),
+                                                   max_gather)
+    K = max_gather
+    idx = idx.reshape(B, n_steps, K)
+    vmask = vmask.reshape(B, n_steps, K)
+    qw = qw.reshape(B, n_steps)        # subsample reweight (unbiased sums)
+    bid = idx // SB
+    k_smp = idx % SB
+
+    b_o = beams.o[bid]                                   # (B, S, K, 3)
+    b_d = beams.d[bid]
+    b_t = beams.t[bid]
+    b_pow = beams.power[bid]
+    ok = vmask & beams.valid[bid]
+
+    # closest approach between camera line (o, d) and beam line (b_o, b_d)
+    w0 = o[:, None, None, :] - b_o
+    b_dot = jnp.einsum("bc,bskc->bsk", d, b_d)
+    denom = 1.0 - b_dot * b_dot
+    d_w0 = jnp.einsum("bc,bskc->bsk", d, w0)
+    e_w0 = jnp.sum(b_d * w0, axis=-1)
+    safe = denom > 1e-6
+    inv = 1.0 / jnp.maximum(denom, 1e-6)
+    t_c = (b_dot * e_w0 - d_w0) * inv
+    t_b = (e_w0 - b_dot * d_w0) * inv
+    diff = w0 + d[:, None, None, :] * t_c[..., None] - b_d * t_b[..., None]
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+
+    # dedup: camera cell owns t_c, beam sample k owns t_b
+    cell_lo = t_mid[..., None] - 0.5 * dt[:, None, None]
+    cell_hi = t_mid[..., None] + 0.5 * dt[:, None, None]
+    in_cam_cell = (t_c >= cell_lo) & (t_c < cell_hi)
+    seg = jnp.maximum(b_t / SB, 1e-9)
+    in_k = (t_b >= k_smp * seg) & (t_b < (k_smp + 1) * seg)
+    use = ok & safe & in_cam_cell & in_k & (dist < radius) \
+        & (t_c > 0) & (t_c < t_cam[:, None, None]) \
+        & (t_b > 0) & (t_b < b_t)
+
+    x = b_o + b_d * t_b[..., None]
+    sig_s, sig_t = media_mod.sigma_at(media, x)
+    # 1-D Epanechnikov kernel on the signed distance in [-r, r]
+    t2 = jnp.clip((dist / jnp.maximum(radius, 1e-9)) ** 2, 0.0, 1.0)
+    k1 = 0.75 * (1.0 - t2) / jnp.maximum(radius, 1e-9)
+    sin_th = jnp.sqrt(jnp.maximum(denom, 1e-6))
+    vid0 = jnp.zeros((B,), jnp.int32)
+    pt = media.phase_type[vid0][:, None, None]
+    pg = media.phase_g[vid0][:, None, None]
+    wo = jnp.broadcast_to(-d[:, None, None, :], b_d.shape)
+    ph = phase_mod.eval_phase(pt, pg, -b_d, wo)
+    tr_beam = jnp.exp(-sig_t * t_b[..., None])
+    scal = (k1 * ph / sin_th)[..., None]
+    contrib = jnp.where(use[..., None], b_pow * sig_s * tr_beam * scal, 0.0)
+    per_step = jnp.sum(contrib, axis=2) * qw[..., None]  # (B, S, 3)
+    tr_cam = _prefix_transmittance(media, o, d, t_mid)
+    return jnp.sum(per_step * tr_cam, axis=1)
+
+
 def _point_estimate(media: media_mod.Media, grid: hashgrid.HashGrid,
                     vpm: VolPhotonMap, o, d, t_max, radius, max_gather: int,
                     n_steps: int):
@@ -238,9 +345,10 @@ def _point_estimate(media: media_mod.Media, grid: hashgrid.HashGrid,
     t_mid = (jnp.arange(n_steps, dtype=jnp.float32)[None, :] + 0.5) * dt[:, None]
     centers = o[:, None, :] + d[:, None, :] * t_mid[..., None]
     cflat = centers.reshape(-1, 3)
-    idx, vmask = hashgrid.query_sphere(grid, cflat, radius, max_gather)
+    idx, vmask, qw = hashgrid.query_sphere_sampled(grid, cflat, max_gather)
     idx = idx.reshape(B, n_steps, max_gather)
     vmask = vmask.reshape(B, n_steps, max_gather)
+    qw = qw.reshape(B, n_steps)
     ph_p = vpm.p[idx]
     ph_pow = vpm.power[idx]
     ph_wi = vpm.wi[idx]
@@ -256,7 +364,7 @@ def _point_estimate(media: media_mod.Media, grid: hashgrid.HashGrid,
     pg = media.phase_g[vid0][:, None, None]
     wo = jnp.broadcast_to(-d[:, None, None, :], ph_wi.shape)
     ph = phase_mod.eval_phase(pt, pg, ph_wi, wo)
-    per_step = jnp.sum(ph_pow * (ph * k2w)[..., None], axis=2)
+    per_step = jnp.sum(ph_pow * (ph * k2w)[..., None], axis=2) * qw[..., None]
     tr_steps = _prefix_transmittance(media, o, d, t_mid)
     return jnp.sum(per_step * tr_steps * dt[:, None, None], axis=1)
 
@@ -279,7 +387,19 @@ def render_sppm_pass(scene: Scene, width: int, height: int, seed, state,
     # competing for the fixed max_gather slots (query_sphere caps candidates)
     q_r = 2.0 * config.radius0 if config.knn_target > 0 else config.radius0
     res = max(4, min(config.grid_res, int(extent / max(q_r, 1e-6))))
-    vres = max(4, min(config.grid_res, int(extent / max(config.vol_radius0, 1e-6))))
+    if config.vol_estimator == VOL_BEAMBEAM:
+        # beam x beam capture guarantee: a beam's owning sample point must land
+        # within the 3^3 neighborhood of the camera cell that owns the closest
+        # approach -> cell >= dt/2 + r + seg/2 with dt <= cell when
+        # vol_steps >= diag/cell; conservatively cell = 2 r + seg_max
+        diag = float(np.linalg.norm(
+            np.asarray(scene.bvh.world_max) - np.asarray(scene.bvh.world_min)))
+        seg_max = diag / config.beam_samples
+        c_bb = 2.0 * config.vol_radius0 + seg_max
+        vres = max(4, min(config.grid_res, int(extent / max(c_bb, 1e-6))))
+    else:
+        vres = max(4, min(config.grid_res,
+                          int(extent / max(config.vol_radius0, 1e-6))))
     config = config._replace(base=base, grid_res=res)
     if media is None:
         media = media_mod.Media.empty()
@@ -297,7 +417,23 @@ def _sppm_impl(scene: Scene, media: media_mod.Media, width: int, height: int,
     seed = seed ^ state.n_passes.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
 
     # ---- photon pass ----
-    if config.vol_estimator != VOL_NONE:
+    beams = None
+    if config.vol_estimator == VOL_BEAMBEAM:
+        pm, vpm, beams = trace_photons_vol(scene, media, config.n_photons,
+                                           seed, cfg, with_beams=True)
+        SB = config.beam_samples
+        ks = (jnp.arange(SB, dtype=jnp.float32) + 0.5) / SB
+        pts = beams.o[:, None, :] + beams.d[:, None, :] \
+            * (ks[None, :, None] * beams.t[:, None, None])
+        pts = pts.reshape(-1, 3)
+        pval = jnp.repeat(beams.valid, SB) \
+            & jnp.all(pts >= scene.bvh.world_min - 1e-3, -1) \
+            & jnp.all(pts <= scene.bvh.world_max + 1e-3, -1)
+        vgrid = hashgrid.build_grid(
+            pts, scene.bvh.world_min - 1e-3, scene.bvh.world_max + 1e-3,
+            res=vol_grid_res, valid=pval,
+        )
+    elif config.vol_estimator != VOL_NONE:
         pm, vpm = trace_photons_vol(scene, media, config.n_photons, seed, cfg)
         vgrid = hashgrid.build_grid(
             vpm.p, scene.bvh.world_min - 1e-3, scene.bvh.world_max + 1e-3,
@@ -400,7 +536,11 @@ def _sppm_impl(scene: Scene, media: media_mod.Media, width: int, height: int,
         prim_hit = scene_mod.scene_intersect(scene, o, d)
         t_end = jnp.where(prim_hit.valid, prim_hit.t, 1e4)
         vol_r = jnp.float32(config.vol_radius0)
-        if config.vol_estimator == VOL_BEAM:
+        if config.vol_estimator == VOL_BEAMBEAM:
+            L_vol = _beambeam_estimate(media, vgrid, beams, config.beam_samples,
+                                       o, d, t_end, vol_r,
+                                       config.vol_max_gather, config.vol_steps)
+        elif config.vol_estimator == VOL_BEAM:
             L_vol = _finish_beam_wrapper(media, vgrid, vpm, o, d, t_end, vol_r,
                                          config.vol_max_gather, config.vol_steps)
         else:
@@ -593,9 +733,10 @@ def _finish_beam_wrapper(media, vgrid, vpm, o, d, t_end, vol_r, max_gather, n_st
     t_mid = (jnp.arange(n_steps, dtype=jnp.float32)[None, :] + 0.5) * dt[:, None]
     centers = o[:, None, :] + d[:, None, :] * t_mid[..., None]
     cflat = centers.reshape(-1, 3)
-    idx, vmask = hashgrid.query_sphere(vgrid, cflat, vol_r, max_gather)
+    idx, vmask, qw = hashgrid.query_sphere_sampled(vgrid, cflat, max_gather)
     idx = idx.reshape(B, n_steps, max_gather)
     vmask = vmask.reshape(B, n_steps, max_gather)
+    qw = qw.reshape(B, n_steps)
     ph_p = vpm.p[idx]
     ph_pow = vpm.power[idx]
     ph_wi = vpm.wi[idx]
@@ -610,4 +751,5 @@ def _finish_beam_wrapper(media, vgrid, vpm, o, d, t_end, vol_r, max_gather, n_st
     use = ok & in_cell & in_r
     t2 = jnp.clip(d2 / jnp.maximum(vol_r * vol_r, 1e-12), 0.0, 1.0)
     k2 = 2.0 * (1.0 - t2) / (PI * vol_r * vol_r)
-    return _finish_beam(media, o, d, t_mid, ph_wi, ph_pow, use, k2, B, n_steps)
+    return _finish_beam(media, o, d, t_mid, ph_wi, ph_pow, use, k2, B, n_steps,
+                        qw=qw)

@@ -157,6 +157,29 @@ def tau_segment(media: Media, vid, o, d, t0, t1):
     return jnp.where((media.vtype[vid] == GRID)[..., None], tau_g, tau_h)
 
 
+def segment_in_media(media: Media, o, d, t_min, t_max):
+    """True where the ray segment overlaps any active volume's box."""
+    inside = jnp.zeros(o.shape[:-1], bool)
+    for v in range(MAX_VOLUMES):
+        near, far, hit = _ray_box(media.box_min[v], media.box_max[v], o, d,
+                                  t_min, t_max)
+        inside = inside | (hit & (media.active[v] > 0))
+    return inside
+
+
+def sigma_at(media: Media, p):
+    """(sigma_s (..., 3), sigma_t (..., 3)) summed over all active volumes
+    at world point p (aggregate-volume union semantics)."""
+    ss = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
+    st = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
+    for v in range(MAX_VOLUMES):
+        vid = jnp.full(p.shape[:-1], v, jnp.int32)
+        dens = density_at(media, vid, p)[..., None]
+        ss = ss + media.sigma_s[v] * dens
+        st = st + (media.sigma_a[v] + media.sigma_s[v]) * dens
+    return ss, st
+
+
 def transmittance(media: Media, o, d, t_min, t_max):
     """Total transmittance over all active volumes along [t_min, t_max]
     (KernelAggregateVolume union semantics, Volumes.h:339-395)."""

@@ -184,3 +184,31 @@ class TestAOVs:
         assert depth.max() > 1.0  # camera is ~3 units from the box
         assert np.asarray(aovs["albedo"]).max() > 0.5
         assert np.asarray(aovs["direct"]).max() > 0.0
+
+
+class TestHashGridSubsampling:
+    def test_weighted_sums_unbiased_under_truncation(self):
+        """query_sphere_sampled: weighted sums over the K-subsampled candidate
+        set must match the exact (untruncated) neighborhood sum."""
+        rng = np.random.default_rng(5)
+        N = 20000
+        pts = jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32))
+        vals = jnp.asarray(rng.uniform(0.5, 1.5, (N,)).astype(np.float32))
+        grid = hg.build_grid(pts, [0, 0, 0], [1, 1, 1], res=6)
+        centers = jnp.asarray(rng.uniform(0.2, 0.8, (64, 3)).astype(np.float32))
+
+        # exact neighborhood sum (cell size 1/6 covers r)
+        r = 1.0 / 6.0
+        d2 = np.sum((np.asarray(pts)[None] - np.asarray(centers)[:, None]) ** 2, -1)
+        exact = np.where(d2 < r * r, np.asarray(vals)[None], 0.0).sum(1)
+
+        # subsampled with small K (severe truncation: ~580 candidates/cell nbhd)
+        idx, valid, w = hg.query_sphere_sampled(grid, centers, 128)
+        got_d2 = np.sum((np.asarray(pts)[np.asarray(idx)] -
+                         np.asarray(centers)[:, None]) ** 2, -1)
+        use = np.asarray(valid) & (got_d2 < r * r)
+        est = (np.where(use, np.asarray(vals)[np.asarray(idx)], 0.0).sum(1)
+               * np.asarray(w))
+        # systematic sampling: low variance, unbiased; check aggregate closely
+        assert abs(est.mean() / exact.mean() - 1.0) < 0.05, (
+            est.mean(), exact.mean())

@@ -9,8 +9,8 @@ import numpy as np
 import pytest
 
 from cudatracerlib_tpu.render.path_tracer import PTConfig, render
-from cudatracerlib_tpu.render.sppm import (SPPMConfig, VOL_BEAM, VOL_POINT,
-                                           render_sppm_pass)
+from cudatracerlib_tpu.render.sppm import (SPPMConfig, VOL_BEAM, VOL_BEAMBEAM,
+                                           VOL_POINT, render_sppm_pass)
 from cudatracerlib_tpu.render.volpath import render_vol
 from cudatracerlib_tpu.scene import media as M
 from cudatracerlib_tpu.scene.shapes import cornell_box
@@ -107,12 +107,18 @@ class TestVolumetricEstimators:
                            PTConfig(max_depth=6))) / n
         return img
 
-    @pytest.mark.parametrize("est", [VOL_BEAM, VOL_POINT])
+    @pytest.mark.parametrize("est", [VOL_BEAM, VOL_POINT, VOL_BEAMBEAM])
     def test_matches_volpath(self, cornell, medium, est):
         W = H = 32
-        cfg = SPPMConfig(n_photons=1 << 15, radius0=0.07, max_gather=160,
-                         grid_res=32, vol_estimator=est, vol_radius0=0.12,
-                         vol_steps=24, vol_max_gather=128)
+        if est == VOL_BEAMBEAM:
+            # beams need far fewer photons and a small 1-D kernel radius
+            cfg = SPPMConfig(n_photons=1 << 13, radius0=0.07, max_gather=160,
+                             grid_res=32, vol_estimator=est, vol_radius0=0.03,
+                             vol_steps=28, vol_max_gather=128, beam_samples=48)
+        else:
+            cfg = SPPMConfig(n_photons=1 << 15, radius0=0.07, max_gather=160,
+                             grid_res=32, vol_estimator=est, vol_radius0=0.12,
+                             vol_steps=24, vol_max_gather=128)
         state = None
         img = None
         for i in range(8):
