@@ -128,7 +128,14 @@ def _cluster_kernel(sup_ref, cl_ref, rays_ref, woop_hbm, t_ref, code_ref,
             v_ref[...] = jnp.where(ok, vv, v_ref[...])
             return 0
 
-        jax.lax.fori_loop(0, CLUSTER_TRIS, tri_body, 0)
+        # 2x unroll: lets Mosaic overlap the next pair's SMEM component
+        # loads (scalar unit) with the current pair's VPU math
+        def tri_pair(i, _):
+            tri_body(2 * i, 0)
+            tri_body(2 * i + 1, 0)
+            return 0
+
+        jax.lax.fori_loop(0, CLUSTER_TRIS // 2, tri_pair, 0)
 
     def intersect_cluster(c):
         dma = pltpu.make_async_copy(woop_hbm.at[c], scratch.at[0], sem.at[0])
