@@ -35,6 +35,28 @@ def discretized_update(m: DiscretizedModel, cell_id, x, weight) -> DiscretizedMo
     return m._replace(hist=m.hist + upd.reshape(C, B))
 
 
+def histogram_density(samples, n_bins: int, lo: float = 0.0, hi: float = 1.0):
+    """D-dimensional histogram density estimator over [lo, hi]^D.
+
+    Counterpart of reference ``Base/HistogramDensityEstimator.h`` (per-cell
+    sample counters used to eyeball sampler distributions): samples (N, D)
+    -> counts with shape (n_bins,) * D, plus the density normalized so a
+    uniform distribution reads 1.0 everywhere (the reference's
+    avg-vals-per-cell normalization)."""
+    samples = jnp.asarray(samples)
+    N, D = samples.shape
+    t = jnp.clip((samples - lo) / (hi - lo), 0.0, 1.0 - 1e-6)
+    b = (t * n_bins).astype(jnp.int32)
+    flat = jnp.zeros((N,), jnp.int32)
+    for i in range(D):
+        flat = flat * n_bins + b[:, i]
+    counts = jax.ops.segment_sum(jnp.ones((N,), jnp.float32), flat,
+                                 num_segments=n_bins ** D)
+    counts = counts.reshape((n_bins,) * D)
+    density = counts / jnp.maximum(jnp.mean(counts), 1e-12)
+    return counts, density
+
+
 def discretized_pdf(m: DiscretizedModel, cell_id, x):
     C, B = m.hist.shape
     h = m.hist[cell_id]

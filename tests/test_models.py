@@ -97,3 +97,17 @@ class TestModelGrid:
         assert c[1] == 3 * 16 + 3 * 4 + 3
         assert c[2] == 0 * 16 + 3 * 4 + 0
         assert (c >= 0).all() and (c < 64).all()
+
+
+class TestHistogramDensity:
+    def test_uniform_reads_one(self):
+        from cudatracerlib_tpu.models.discretized import histogram_density
+
+        rng = np.random.default_rng(3)
+        s = jnp.asarray(rng.uniform(size=(40000, 2)).astype(np.float32))
+        counts, density = histogram_density(s, 8)
+        assert counts.shape == (8, 8)
+        assert float(counts.sum()) == 40000
+        d = np.asarray(density)
+        assert abs(d.mean() - 1.0) < 1e-5
+        assert d.std() < 0.1  # uniform input -> flat density
