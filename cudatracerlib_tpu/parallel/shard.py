@@ -140,6 +140,80 @@ def make_train_step(mesh: Mesh, width: int, height: int, spp: int,
     return step
 
 
+def make_sharded_ppm(mesh: Mesh, width: int, height: int, spp: int,
+                     config=None):
+    """Multi-chip progressive photon mapping pass (BASELINE config 5: the
+    light-tracing pass sharded over the mesh).
+
+    Each device traces n_photons / n_dev photons with a device-folded seed;
+    the photon SoA is then `all_gather`ed over ICI so every chip holds the
+    union map (scene-sized, like the replicated BVH), the grid is built
+    redundantly per chip (cheap sort), and the eye pass shards over pixels
+    with the usual film psum. Returns fn(scene, seed, pass_idx) -> image."""
+    from ..accel import hashgrid
+    from ..render import ppm as ppm_mod
+
+    if config is None:
+        config = ppm_mod.PPMConfig()
+    n_dp = mesh.shape["dp"]
+    n_sp = mesh.shape["sp"]
+    n_dev = n_dp * n_sp
+    assert config.n_photons % n_dev == 0, "n_photons must divide device count"
+    n_px = width * height
+    assert n_px % n_dp == 0 and spp % max(n_sp, 1) == 0
+
+    pixel_id = jnp.tile(jnp.arange(n_px, dtype=jnp.uint32), spp)
+    sample_idx = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n_px)
+    pixel_id = pixel_id.reshape(n_sp, spp // n_sp, n_dp, n_px // n_dp)
+    sample_idx = sample_idx.reshape(n_sp, spp // n_sp, n_dp, n_px // n_dp)
+
+    def _shard(scene: Scene, pid, sid, seed, radius):
+        cfg_local = config._replace(n_photons=config.n_photons // n_dev)
+        dev = jax.lax.axis_index("dp") * n_sp + jax.lax.axis_index("sp")
+        pm_local = ppm_mod.trace_photons(
+            scene, cfg_local.n_photons,
+            seed ^ (dev.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)),
+            cfg_local.base,
+        )
+        # photon exchange: the union map is replicated on every chip
+        pm = jax.tree.map(
+            lambda x: jax.lax.all_gather(
+                jax.lax.all_gather(x, "sp", axis=0, tiled=True),
+                "dp", axis=0, tiled=True),
+            pm_local,
+        )
+        # per-pass power normalization already divided by the LOCAL count;
+        # rescale to the global photon count
+        pm = pm._replace(power=pm.power / n_dev)
+        grid = hashgrid.build_grid(
+            pm.p, scene.bvh.world_min - 1e-3, scene.bvh.world_max + 1e-3,
+            res=config.grid_res, valid=pm.valid,
+        )
+        film = ppm_mod.ppm_eye_pass(
+            scene, pm, grid, pid.reshape(-1), sid.reshape(-1), seed, radius,
+            width, height, config,
+        )
+        rgb = jax.lax.psum(jax.lax.psum(film.rgb, "dp"), "sp")
+        weight = jax.lax.psum(jax.lax.psum(film.weight, "dp"), "sp")
+        return rgb, weight
+
+    shard_fn = jax.shard_map(
+        _shard,
+        mesh=mesh,
+        in_specs=(P(), P("sp", None, "dp", None), P("sp", None, "dp", None),
+                  P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def ppm_fn(scene: Scene, seed, radius):
+        rgb, weight = shard_fn(scene, pixel_id, sample_idx, seed, radius)
+        return rgb / jnp.maximum(weight, 1e-8)[..., None]
+
+    return ppm_fn
+
+
 def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
     """Place every scene leaf replicated on the mesh."""
     sharding = NamedSharding(mesh, P())

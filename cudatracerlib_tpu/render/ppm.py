@@ -154,20 +154,30 @@ def render_ppm_pass(scene: Scene, width: int, height: int, spp: int, seed,
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
 def _ppm_impl(scene: Scene, width: int, height: int, spp: int, seed, radius,
               config: PPMConfig):
-    cfg = config.base
-
     # ---- photon pass ----
-    pm = trace_photons(scene, config.n_photons, seed, cfg)
+    pm = trace_photons(scene, config.n_photons, seed, config.base)
     grid = hashgrid.build_grid(
         pm.p, scene.bvh.world_min - 1e-3, scene.bvh.world_max + 1e-3,
         res=config.grid_res, valid=pm.valid,
     )
 
-    # ---- eye pass ----
     n_px = width * height
-    B = n_px * spp
     pixel_id = jnp.tile(jnp.arange(n_px, dtype=jnp.uint32), spp)
     sample_idx = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n_px)
+    film = ppm_eye_pass(scene, pm, grid, pixel_id, sample_idx, seed, radius,
+                        width, height, config)
+    return film_mod.develop(film)
+
+
+def ppm_eye_pass(scene: Scene, pm: PhotonMap, grid, pixel_id, sample_idx,
+                 seed, radius, width: int, height: int, config: PPMConfig):
+    """Eye pass over an arbitrary pixel/sample batch -> Film (unnormalized).
+
+    Factored out so the multi-chip path (parallel/shard.py) can shard pixels
+    while the photon map is the all-gathered union of per-device photon
+    passes (BASELINE config 5: sharded light pass)."""
+    cfg = config.base
+    B = pixel_id.shape[0]
     smp = Sampler.create(seed ^ jnp.uint32(0x5EED), pixel_id, sample_idx)
     smp, jitter = smp.next_2d()
     px = (pixel_id % width).astype(jnp.float32)
@@ -307,5 +317,4 @@ def _ppm_impl(scene: Scene, width: int, height: int, spp: int, seed, radius,
     L = L + final.w * contrib
 
     film = film_mod.Film.create(height, width)
-    film = film_mod.add_samples(film, pixel_id.astype(jnp.int32), L * w_cam)
-    return film_mod.develop(film)
+    return film_mod.add_samples(film, pixel_id.astype(jnp.int32), L * w_cam)

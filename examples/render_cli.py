@@ -8,7 +8,7 @@ Usage:
 
 SCENE: a Mitsuba .xml file, an .obj file, or one of the built-ins
        {cornell, furnace, bigscene}.
-TRACER: direct | PT | PT_Wave | BDPT | VCM | PPPM | LT | fast
+TRACER: direct | PT | PT_Wave | BDPT | VCM | PPPM | SPPM | guided | LT | fast
 """
 import argparse
 import sys
@@ -58,7 +58,7 @@ def main():
     ap.add_argument("scene")
     ap.add_argument("passes", type=int)
     ap.add_argument("tracer", choices=["direct", "PT", "PT_Wave", "BDPT", "VCM",
-                                       "PPPM", "LT", "fast"])
+                                       "PPPM", "SPPM", "guided", "LT", "fast"])
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--depth", type=int, default=6)
@@ -85,6 +85,16 @@ def main():
             acc, start_pass = z["acc"], int(z["n"])
             print(f"resumed at pass {start_pass}")
 
+    sppm_state = None
+    guiding = None
+    if args.tracer == "guided":
+        from cudatracerlib_tpu.render.guided import make_guiding, train_guiding
+
+        guiding = make_guiding(scene, res=8)
+        for i in range(3):
+            guiding = train_guiding(scene, guiding, 1 << 15, i, cfg)
+        print("guiding trained (3 photon batches)")
+
     for p in range(start_pass, args.passes):
         t0 = time.perf_counter()
         with GLOBAL_TIMER.measure("pass"):
@@ -108,6 +118,16 @@ def main():
                 from cudatracerlib_tpu.render.ppm import PPMConfig, render_ppm_pass
 
                 img = render_ppm_pass(scene, W, H, args.spp, p, p, PPMConfig(base=cfg))
+            elif args.tracer == "SPPM":
+                from cudatracerlib_tpu.render.sppm import (SPPMConfig,
+                                                           render_sppm_pass)
+
+                img, sppm_state = render_sppm_pass(
+                    scene, W, H, p, sppm_state, SPPMConfig(base=cfg))
+            elif args.tracer == "guided":
+                from cudatracerlib_tpu.render.guided import render_guided
+
+                img = render_guided(scene, guiding, W, H, args.spp, p, cfg)
             elif args.tracer == "LT":
                 from cudatracerlib_tpu.render.light_tracer import render_light_trace
 
@@ -117,7 +137,10 @@ def main():
 
                 img, _ = render_fast(scene, W, H, p)
             img = np.asarray(img)
-        acc += (img - acc) / (p + 1)
+        if args.tracer == "SPPM":
+            acc = img  # SPPM develops its own running estimate
+        else:
+            acc += (img - acc) / (p + 1)
         dt = time.perf_counter() - t0
         rays = W * H * args.spp * cfg.max_depth * 2
         print(f"pass {p + 1}/{args.passes}: {dt * 1e3:.0f} ms "
