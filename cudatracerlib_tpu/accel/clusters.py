@@ -28,6 +28,8 @@ class ClusterScene(NamedTuple):
 
     super_boxes: jnp.ndarray    # (NS, 6) [lo, hi]
     cluster_boxes: jnp.ndarray  # (NS * SUPER_WAY, 6), padded with empty boxes
+    cluster_boxes_cm: jnp.ndarray  # (8, NC2) component-major (lo.xyz, hi.xyz,
+                                   # pad), NC2 = 128-aligned — frustum pre-cull
     woop: jnp.ndarray           # (NS * SUPER_WAY, 16, CLUSTER_TRIS) — component-major,
                                 #  padded to 16 rows for tile-aligned DMA
     prim: jnp.ndarray           # (NS * SUPER_WAY, CLUSTER_TRIS) int32 -> bvh-order tri id
@@ -163,9 +165,16 @@ def build_clusters(bvh: BVH, host: dict | None = None) -> ClusterScene:
             sup_boxes[s, 0:3] = 1e30
             sup_boxes[s, 3:6] = -1e30
 
+    nc2 = ((nc_pad + 127) // 128) * 128
+    cl_cm = np.zeros((8, nc2), np.float32)
+    cl_cm[0:3, :] = 1e30          # empty boxes never pass the frustum test
+    cl_cm[3:6, :] = -1e30
+    cl_cm[0:6, :nc_pad] = cl_boxes.T
+
     return ClusterScene(
         super_boxes=jnp.asarray(sup_boxes),
         cluster_boxes=jnp.asarray(cl_boxes),
+        cluster_boxes_cm=jnp.asarray(cl_cm),
         woop=jnp.asarray(cl_woop),
         prim=jnp.asarray(cl_prim),
         n_clusters=jnp.asarray(np.int32(n_real)),

@@ -73,15 +73,17 @@ def _slab_near(lo, hi, ox, oy, oz, idx, idy, idz, tmin, tmax):
     return near <= far, near
 
 
-def _cluster_kernel(sup_ref, cl_ref, rays_ref, woop_hbm, t_ref, code_ref,
-                    u_ref, v_ref, scratch, sup_t, queue, sem, *, n_super,
-                    any_hit):
+def _cluster_kernel(sup_ref, cl_ref, cl_cm_ref, rays_ref, woop_hbm, t_ref,
+                    code_ref, u_ref, v_ref, scratch, sup_t, queue, near_ref,
+                    nq_ref, sem, *, n_super, n_rounds, any_hit):
     """Front-to-back ordered cluster traversal (see module docstring).
 
     sup_t is an SMEM array of per-super tile entry distances; a selection
     loop visits supers near-to-far so best_t tightens early and distant boxes
-    prune to `any() == False`. `queue` holds the current super's passing
-    cluster ids for the double-buffered DMA pipeline."""
+    prune to `any() == False`. `near_ref` holds per-cluster conservative
+    frustum entry distances computed once per tile (128 clusters per VPU
+    round); `queue` holds a super's surviving cluster ids for the
+    double-buffered DMA pipeline."""
     ox = rays_ref[0]
     oy = rays_ref[1]
     oz = rays_ref[2]
@@ -100,6 +102,39 @@ def _cluster_kernel(sup_ref, cl_ref, rays_ref, woop_hbm, t_ref, code_ref,
     v_ref[...] = jnp.zeros((SUB, LANES), jnp.float32)
 
     INF = jnp.float32(3e30)
+
+    # ---- frustum pre-cull: conservative per-cluster entry distance over the
+    # whole tile, 128 clusters per VPU round (interval arithmetic over the
+    # tile's origin/inv-direction bounds) ----
+    o_bounds = [(jnp.min(ox), jnp.max(ox)), (jnp.min(oy), jnp.max(oy)),
+                (jnp.min(oz), jnp.max(oz))]
+    i_bounds = [(jnp.min(idx), jnp.max(idx)), (jnp.min(idy), jnp.max(idy)),
+                (jnp.min(idz), jnp.max(idz))]
+    tmax_ub = jnp.max(tmax)
+    tmin_lb = jnp.min(tmin)
+    for r in range(n_rounds):
+        sl = slice(r * LANES, (r + 1) * LANES)
+        near_lb = None
+        far_ub = None
+        for ax in range(3):
+            lo = cl_cm_ref[ax, sl].reshape(1, LANES)
+            hi = cl_cm_ref[ax + 3, sl].reshape(1, LANES)
+            (o_l, o_h), (i_l, i_h) = o_bounds[ax], i_bounds[ax]
+            prods = [(lo - o_l) * i_l, (lo - o_l) * i_h,
+                     (lo - o_h) * i_l, (lo - o_h) * i_h,
+                     (hi - o_l) * i_l, (hi - o_l) * i_h,
+                     (hi - o_h) * i_l, (hi - o_h) * i_h]
+            p_lo = prods[0]
+            p_hi = prods[0]
+            for q in prods[1:]:
+                p_lo = jnp.minimum(p_lo, q)
+                p_hi = jnp.maximum(p_hi, q)
+            near_lb = p_lo if near_lb is None else jnp.maximum(near_lb, p_lo)
+            far_ub = p_hi if far_ub is None else jnp.minimum(far_ub, p_hi)
+        near_lb = jnp.maximum(near_lb, tmin_lb)
+        ok_r = (near_lb <= far_ub) & (near_lb <= tmax_ub)
+        val = jnp.where(ok_r, near_lb, INF)
+        near_ref[r * LANES:(r + 1) * LANES, :] = val.reshape(LANES, 1)
 
     def test_cluster_tris(slot, c):
         def tri_body(t, _):
@@ -137,27 +172,77 @@ def _cluster_kernel(sup_ref, cl_ref, rays_ref, woop_hbm, t_ref, code_ref,
 
         jax.lax.fori_loop(0, CLUSTER_TRIS // 2, tri_pair, 0)
 
-    def intersect_cluster(c):
-        dma = pltpu.make_async_copy(woop_hbm.at[c], scratch.at[0], sem.at[0])
-        dma.start()
-        dma.wait()
-        test_cluster_tris(0, c)
+    def _dma(slot, c):
+        return pltpu.make_async_copy(woop_hbm.at[c], scratch.at[slot],
+                                     sem.at[slot])
 
     def process_super(s):
-        # clusters gated per-box; Morton layout gives rough front-to-back
-        def cluster_body(j, _):
-            c = s * SUPER_WAY + j
-            clo = (cl_ref[c, 0], cl_ref[c, 1], cl_ref[c, 2])
-            chi = (cl_ref[c, 3], cl_ref[c, 4], cl_ref[c, 5])
-            hit_c = _slab(clo, chi, ox, oy, oz, idx, idy, idz, tmin, t_ref[...])
+        # phase 1: queue this super's clusters passing the precomputed
+        # frustum gate against the CURRENT best t (pure scalar work —
+        # no per-cluster vector slab tests on the hot path)
+        t_cap = jnp.max(t_ref[...])
+        nq_ref[0] = 0
 
-            @pl.when(jnp.any(hit_c))
+        def gather(j, _):
+            c = s * SUPER_WAY + j
+
+            # cheap scalar frustum gate first; the exact any-lane slab test
+            # (vector) runs only for frustum survivors
+            @pl.when(near_ref[c, 0] < t_cap)
             def _():
-                intersect_cluster(c)
+                clo = (cl_ref[c, 0], cl_ref[c, 1], cl_ref[c, 2])
+                chi = (cl_ref[c, 3], cl_ref[c, 4], cl_ref[c, 5])
+                hit_c = _slab(clo, chi, ox, oy, oz, idx, idy, idz, tmin,
+                              t_ref[...])
+
+                @pl.when(jnp.any(hit_c))
+                def _():
+                    n = nq_ref[0]
+                    queue[n] = c
+                    nq_ref[0] = n + 1
 
             return 0
 
-        jax.lax.fori_loop(0, SUPER_WAY, cluster_body, 0)
+        jax.lax.fori_loop(0, SUPER_WAY, gather, 0)
+        n_q = nq_ref[0]
+
+        # phase 2: double-buffered DMA over the queue — the next cluster's
+        # 8 KB burst overlaps the current cluster's triangle sweep (a
+        # synchronous start/wait serialized ~2 us of DMA latency per cluster)
+        @pl.when(n_q > 0)
+        def _():
+            _dma(0, queue[0]).start()
+
+            def body(i, _):
+                even = jax.lax.rem(i, 2) == 0
+
+                @pl.when(i + 1 < n_q)
+                def _():
+                    c_next = queue[i + 1]
+
+                    @pl.when(even)
+                    def _():
+                        _dma(1, c_next).start()
+
+                    @pl.when(~even)
+                    def _():
+                        _dma(0, c_next).start()
+
+                c = queue[i]
+
+                @pl.when(even)
+                def _():
+                    _dma(0, c).wait()
+                    test_cluster_tris(0, c)
+
+                @pl.when(~even)
+                def _():
+                    _dma(1, c).wait()
+                    test_cluster_tris(1, c)
+
+                return 0
+
+            jax.lax.fori_loop(0, n_q, body, 0)
 
     # per-super tile entry distances
     def sup_scan(s, _):
@@ -259,7 +344,9 @@ def intersect_clusters(cs: ClusterScene, o, d, t_min=1e-4, t_max=1e30,
     rays = jnp.stack([jnp.pad(c, (0, pad)) for c in comps]).reshape(8, Bp // LANES, LANES)
 
     grid = Bp // block
-    kernel = functools.partial(_cluster_kernel, n_super=n_super, any_hit=any_hit)
+    nc2 = cs.cluster_boxes_cm.shape[1]
+    kernel = functools.partial(_cluster_kernel, n_super=n_super,
+                               n_rounds=nc2 // LANES, any_hit=any_hit)
     oshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     oshape_i = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.int32)
     ospec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -274,6 +361,7 @@ def intersect_clusters(cs: ClusterScene, o, d, t_min=1e-4, t_max=1e30,
                 (cs.cluster_boxes.shape[0], 6), lambda i: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec((8, nc2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, SUB, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # woop stays in HBM
         ],
@@ -283,6 +371,8 @@ def intersect_clusters(cs: ClusterScene, o, d, t_min=1e-4, t_max=1e30,
             pltpu.SMEM((2, 16, CLUSTER_TRIS), jnp.float32),
             pltpu.SMEM((n_super,), jnp.float32),
             pltpu.SMEM((SUPER_WAY,), jnp.int32),
+            pltpu.VMEM((nc2, 1), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -293,7 +383,7 @@ def intersect_clusters(cs: ClusterScene, o, d, t_min=1e-4, t_max=1e30,
             bytes_accessed=Bp * 48 + int(cs.woop.size) * 4,
             transcendentals=0,
         ),
-    )(cs.super_boxes, cs.cluster_boxes, rays, woop_flat)
+    )(cs.super_boxes, cs.cluster_boxes, cs.cluster_boxes_cm, rays, woop_flat)
 
     t = t.reshape(-1)[:B]
     code = code.reshape(-1)[:B]
