@@ -22,3 +22,28 @@ Layer map (mirrors SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: renderer programs are large (the cluster
+# kernel + bounce scan compiles in minutes); caching across processes makes
+# CLI runs, benchmarks, and test reruns start in seconds. Counterpart of the
+# reference's compiled-binary caches for meshes/textures, applied to code.
+import os as _os
+
+
+def _enable_compilation_cache():
+    try:
+        import jax as _jax
+
+        cache_dir = _os.environ.get(
+            "CUDATRACERLIB_TPU_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "cudatracerlib_tpu_xla"),
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
+
+
+_enable_compilation_cache()
