@@ -41,20 +41,28 @@ class VarianceBuffer(NamedTuple):
         return VarianceBuffer(z, z, z, z3, z3, jnp.zeros(()), jnp.zeros(()))
 
 
-def add_pass(vb: VarianceBuffer, pass_image, pass_idx) -> VarianceBuffer:
-    """Accumulate one pass's per-pixel radiance image (Welford update)."""
+def add_pass(vb: VarianceBuffer, pass_image, pass_idx,
+             mask=None) -> VarianceBuffer:
+    """Accumulate one pass's per-pixel radiance image (Welford update).
+
+    `mask` (H, W) bool: pixels that actually received samples this pass
+    (adaptive sampling leaves low-variance pixels un-sampled some passes);
+    un-sampled pixels hold their moments unchanged."""
     lum = (
         0.212671 * pass_image[..., 0]
         + 0.715160 * pass_image[..., 1]
         + 0.072169 * pass_image[..., 2]
     )
-    n = vb.n + 1.0
-    delta = lum - vb.mean
-    mean = vb.mean + delta / n
-    m2 = vb.m2 + delta * (lum - mean)
+    if mask is None:
+        mask = jnp.ones(lum.shape, bool)
+    n = vb.n + jnp.where(mask, 1.0, 0.0)
+    delta = jnp.where(mask, lum - vb.mean, 0.0)
+    mean = vb.mean + delta / jnp.maximum(n, 1.0)
+    m2 = vb.m2 + delta * jnp.where(mask, lum - mean, 0.0)
     even = (pass_idx % 2) == 0
-    half_a = jnp.where(even, vb.half_a + pass_image, vb.half_a)
-    half_b = jnp.where(even, vb.half_b, vb.half_b + pass_image)
+    upd = jnp.where(mask[..., None], pass_image, 0.0)
+    half_a = jnp.where(even, vb.half_a + upd, vb.half_a)
+    half_b = jnp.where(even, vb.half_b, vb.half_b + upd)
     return VarianceBuffer(
         mean=mean, m2=m2, n=n,
         half_a=half_a, half_b=half_b,

@@ -158,39 +158,34 @@ def _offset_ray(p, n_geo, w, eps):
     return p + n_geo * s * eps
 
 
-class _Carry(NamedTuple):
-    o: jnp.ndarray
-    d: jnp.ndarray
-    throughput: jnp.ndarray
-    L: jnp.ndarray
-    active: jnp.ndarray
+class BounceOut(NamedTuple):
+    """Result of one shared surface bounce (see surface_bounce)."""
+    o: jnp.ndarray           # next ray origin
+    d: jnp.ndarray           # next ray direction
+    throughput: jnp.ndarray  # updated path throughput (RR-compensated)
+    L_add: jnp.ndarray       # radiance added this bounce (env/emission/NEE)
+    cont: jnp.ndarray        # path continues
+    bs_pdf: jnp.ndarray      # solid-angle pdf of the sampled direction
+    delta_now: jnp.ndarray   # sampled lobe was delta (suppress next MIS)
+    eta_scale: jnp.ndarray   # updated accumulated eta^2
+    path_len: jnp.ndarray    # updated path length (ray-cone footprint)
     sampler: Sampler
-    prev_pdf: jnp.ndarray      # solid-angle pdf of the last BSDF sample
-    prev_delta: jnp.ndarray    # last bounce was a delta lobe (no MIS)
-    eta_scale: jnp.ndarray     # accumulated eta^2 for RR throughput
-    path_len: jnp.ndarray      # accumulated path length (ray-cone footprint)
+    n_rays: jnp.ndarray      # rays actually traced this bounce (scalar)
 
 
-def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig,
-                   cone=None):
-    """Estimate radiance along a batch of rays. Returns (L (B,3), sampler).
+def surface_bounce(scene: Scene, config: PTConfig, *, o, d, active,
+                   throughput, prev_pdf, prev_delta, eta_scale, path_len,
+                   sampler: Sampler, depth, cone=None) -> BounceOut:
+    """One full surface-path bounce: intersect -> material maps / alpha test
+    -> env + area-light emission with MIS -> NEE -> BSDF sample -> RR.
 
-    `cone`: optional (r0, slope) per-pixel ray-cone (sensors.pixel_spread)
-    driving MIP-mapped texture LOD; None disables texture filtering."""
+    The single shading implementation shared by the megakernel scan
+    (trace_radiance) and the wavefront pool (render/wavefront.py), so the two
+    engines shade identically by construction — the TPU analogue of the
+    reference sharing PathTrace device code between PathTracer.cu and
+    WavefrontPathTracer.cu. `depth` may be a scalar (scan index) or a per-lane
+    (B,) vector (wavefront pool depth)."""
     B = o.shape[0]
-    init = _Carry(
-        o=o,
-        d=d,
-        throughput=jnp.ones((B, 3), jnp.float32),
-        L=jnp.zeros((B, 3), jnp.float32),
-        active=jnp.ones((B,), bool),
-        sampler=sampler,
-        prev_pdf=jnp.zeros((B,), jnp.float32),
-        prev_delta=jnp.ones((B,), bool),   # depth 0: emission counts fully
-        eta_scale=jnp.ones((B,), jnp.float32),
-        path_len=jnp.zeros((B,), jnp.float32),
-    )
-
     lt = config.light_types
     has_env_static = lt is None or (lights_mod.INFINITE in lt) or (lights_mod.CONSTANT_ENV in lt)
     has_area_static = lt is None or (lights_mod.AREA_LIGHT in lt)
@@ -204,176 +199,236 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig,
         config.tex_types is None or tex_mod.IMAGE in config.tex_types
     )
 
-    def bounce(carry: _Carry, depth):
-        s = carry.sampler
-        hit = scene_mod.scene_intersect(scene, carry.o, carry.d)
-        it = make_interaction(scene, carry.o, carry.d, hit,
-                              flat=config.flat_shading)
-        found_any = hit.valid & carry.active
-        if config.normal_maps or config.height_maps:
-            it = scene_mod.apply_material_maps(
-                scene, it, -carry.d, config.tex_types,
-                use_normal=config.normal_maps, use_height=config.height_maps,
-                use_parallax=config.parallax,
-            )
-        if config.alpha_test:
-            # alpha-tested-away surfaces pass the ray straight through
-            # (Material::AlphaTest; consumes one bounce like the reference's
-            # wavefront iteration does)
-            keep = scene_mod.alpha_test(scene, it, config.tex_types)
-            passthru = found_any & ~keep
-            found = found_any & keep
-        else:
-            passthru = None
-            found = found_any
-        L = carry.L
+    s = sampler
+    hit = scene_mod.scene_intersect(scene, o, d)
+    it = make_interaction(scene, o, d, hit, flat=config.flat_shading)
+    found_any = hit.valid & active
+    if config.normal_maps or config.height_maps:
+        it = scene_mod.apply_material_maps(
+            scene, it, -d, config.tex_types,
+            use_normal=config.normal_maps, use_height=config.height_maps,
+            use_parallax=config.parallax,
+        )
+    if config.alpha_test:
+        # alpha-tested-away surfaces pass the ray straight through
+        # (Material::AlphaTest; consumes one bounce like the reference's
+        # wavefront iteration does)
+        keep = scene_mod.alpha_test(scene, it, config.tex_types)
+        passthru = found_any & ~keep
+        found = found_any & keep
+    else:
+        passthru = None
+        found = found_any
+    L = jnp.zeros((B, 3), jnp.float32)
 
-        # ---- environment on escape (PathTracer.cu:98-111) ----
-        if has_env_static:
-            has_env = scene.env_light_id >= 0
-            env_id = jnp.maximum(scene.env_light_id, 0)
-            env_ids = jnp.broadcast_to(env_id, (B,))
-            env_L = lights_mod.eval_env(scene.lights, env_ids, carry.d)
-            env_pdf_l = lights_mod.pdf_env_dir(scene.lights, env_ids, carry.d)
-            env_sel = _light_select_pmf(scene, env_ids)
-            w_env = jnp.where(
-                carry.prev_delta | ~jnp.asarray(config.direct),
-                1.0,
-                mc.mis_weight(carry.prev_pdf, env_pdf_l * env_sel),
-            )
-            escaped = carry.active & ~hit.valid & has_env
-            L = L + jnp.where(escaped[..., None], carry.throughput * env_L * w_env[..., None], 0.0)
+    # ---- environment on escape (PathTracer.cu:98-111) ----
+    if has_env_static:
+        has_env = scene.env_light_id >= 0
+        env_id = jnp.maximum(scene.env_light_id, 0)
+        env_ids = jnp.broadcast_to(env_id, (B,))
+        env_L = lights_mod.eval_env(scene.lights, env_ids, d)
+        env_pdf_l = lights_mod.pdf_env_dir(scene.lights, env_ids, d)
+        env_sel = _light_select_pmf(scene, env_ids)
+        w_env = jnp.where(
+            prev_delta | ~jnp.asarray(config.direct),
+            1.0,
+            mc.mis_weight(prev_pdf, env_pdf_l * env_sel),
+        )
+        escaped = active & ~hit.valid & has_env
+        L = L + jnp.where(escaped[..., None], throughput * env_L * w_env[..., None], 0.0)
 
-        # ---- emission at hit (MIS against NEE, PathTracer.cu:62-86) ----
-        wo_world = -carry.d
-        if has_area_static:
-            mat_light = scene.materials.light_id[it.mat_id]
-            emissive = found & (mat_light >= 0)
-            lid = (jnp.int32(0) if scene.n_lights == 1
-                   else jnp.maximum(mat_light, 0))
-            Le = lights_mod.eval_area_emission(scene.lights, lid, it.n_geo, wo_world)
-            pdf_light_hit = lights_mod.pdf_direct_area(
-                scene.lights, lid, carry.o, it.p, it.n_geo
-            ) * _light_select_pmf(scene, lid)
-            w_hit = jnp.where(
-                carry.prev_delta | ~jnp.asarray(config.direct),
-                1.0,
-                mc.mis_weight(carry.prev_pdf, pdf_light_hit),
-            )
-            L = L + jnp.where(emissive[..., None], carry.throughput * Le * w_hit[..., None], 0.0)
+    # ---- emission at hit (MIS against NEE, PathTracer.cu:62-86) ----
+    wo_world = -d
+    if has_area_static:
+        mat_light = scene.materials.light_id[it.mat_id]
+        emissive = found & (mat_light >= 0)
+        lid = (jnp.int32(0) if scene.n_lights == 1
+               else jnp.maximum(mat_light, 0))
+        Le = lights_mod.eval_area_emission(scene.lights, lid, it.n_geo, wo_world)
+        pdf_light_hit = lights_mod.pdf_direct_area(
+            scene.lights, lid, o, it.p, it.n_geo
+        ) * _light_select_pmf(scene, lid)
+        w_hit = jnp.where(
+            prev_delta | ~jnp.asarray(config.direct),
+            1.0,
+            mc.mis_weight(prev_pdf, pdf_light_hit),
+        )
+        L = L + jnp.where(emissive[..., None], throughput * Le * w_hit[..., None], 0.0)
 
-        # ---- surface shading setup ----
-        if filter_textures:
-            r0, slope = cone
-            path_t = carry.path_len + jnp.where(found_any, hit.t, 0.0)
-            uv_width = (r0 + slope * path_t) * jnp.take(
-                scene.shading.uv_density, it.prim
-            )
-        else:
-            path_t = carry.path_len
-            uv_width = None
-        mp = gather_mat_params(scene, it, config.tex_types, uv_width=uv_width)
-        if config.regularization > 0.0:
-            mp = _regularize(mp, depth, config.regularization)
-        wo_local = it.frame.to_local(wo_world)
+    # ---- surface shading setup ----
+    if filter_textures:
+        r0, slope = cone
+        path_t = path_len + jnp.where(found_any, hit.t, 0.0)
+        uv_width = (r0 + slope * path_t) * jnp.take(
+            scene.shading.uv_density, it.prim
+        )
+    else:
+        path_t = path_len
+        uv_width = None
+    mp = gather_mat_params(scene, it, config.tex_types, uv_width=uv_width)
+    if config.regularization > 0.0:
+        mp = _regularize(mp, depth, config.regularization)
+    wo_local = it.frame.to_local(wo_world)
 
-        # ---- next-event estimation (TraceAlgorithms.cu:44-101) ----
-        s, u_sel = s.next_1d()
-        s, u_l2 = s.next_2d()
-        if config.direct and scene.n_lights > 0:
-            lsel, lpmf, _ = _select_light(scene, u_sel)
-            ds, Lrad = lights_mod.sample_direct(scene.lights, lsel, it.p, u_l2,
-                                                active=config.light_types)
-            wi_l_local = it.frame.to_local(ds.d)
-            if has_nested:
-                mp_in = gather_nested_params(scene, it, config.tex_types,
-                                             uv_width=uv_width)
-                f_l, pdf_b_l = bsdf_mod.eval_bsdf_nested(
-                    mp, mp_in, wo_local, wi_l_local, active=config.bsdf_types)
-            else:
-                f_l, pdf_b_l = bsdf_mod.eval_bsdf(mp, wo_local, wi_l_local,
-                                                  active=config.bsdf_types)
-            # occlusion
-            sh_o = _offset_ray(it.p, it.n_geo, ds.d, config.ray_eps)
-            blocked = scene_mod.scene_occluded(
-                scene, sh_o, ds.d, t_min=config.ray_eps,
-                t_max=ds.dist - 2.0 * config.ray_eps,
-            )
-            is_delta_l = ds.measure == 2  # DISCRETE
-            lpmf = jax.lax.stop_gradient(lpmf)
-            pdf_l_sa = jnp.where(is_delta_l, 1.0, jax.lax.stop_gradient(ds.pdf)) * lpmf
-            w_nee = jnp.where(
-                is_delta_l, 1.0, mc.mis_weight(pdf_l_sa, pdf_b_l)
-            )
-            contrib = (
-                carry.throughput
-                * f_l
-                * Lrad
-                * (w_nee / jnp.maximum(pdf_l_sa, 1e-12))[..., None]
-            )
-            nee_ok = found & ~blocked & (ds.pdf > 0) & (lpmf > 0)
-            L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
-
-        # ---- BSDF sampling ----
-        s, u_b2 = s.next_2d()
-        s, u_b1 = s.next_1d()
+    # ---- next-event estimation (TraceAlgorithms.cu:44-101) ----
+    s, u_sel = s.next_1d()
+    s, u_l2 = s.next_2d()
+    if config.direct and scene.n_lights > 0:
+        lsel, lpmf, _ = _select_light(scene, u_sel)
+        ds, Lrad = lights_mod.sample_direct(scene.lights, lsel, it.p, u_l2,
+                                            active=config.light_types)
+        wi_l_local = it.frame.to_local(ds.d)
         if has_nested:
-            mp_in2 = gather_nested_params(scene, it, config.tex_types,
-                                              uv_width=uv_width)
-            bs = bsdf_mod.sample_bsdf_nested(mp, mp_in2, wo_local, u_b2, u_b1,
-                                             active=config.bsdf_types)
+            mp_in = gather_nested_params(scene, it, config.tex_types,
+                                         uv_width=uv_width)
+            f_l, pdf_b_l = bsdf_mod.eval_bsdf_nested(
+                mp, mp_in, wo_local, wi_l_local, active=config.bsdf_types)
         else:
-            bs = bsdf_mod.sample_bsdf(mp, wo_local, u_b2, u_b1,
-                                      active=config.bsdf_types)
-        wi_world = it.frame.to_world(bs.wi)
-        new_o = _offset_ray(it.p, it.n_geo, wi_world, config.ray_eps)
-        throughput = carry.throughput * bs.weight
-        cont = found & (bs.pdf > 0) & (jnp.max(jnp.abs(throughput), axis=-1) > 0)
-
-        # ---- russian roulette (PathTracer.cu:91-96) ----
-        s, u_rr = s.next_1d()
-        tmax_c = jnp.max(throughput, axis=-1) * carry.eta_scale
-        p_cont = jax.lax.stop_gradient(
-            mc.russian_roulette_prob(tmax_c, depth, config.rr_start)
+            f_l, pdf_b_l = bsdf_mod.eval_bsdf(mp, wo_local, wi_l_local,
+                                              active=config.bsdf_types)
+        # occlusion
+        sh_o = _offset_ray(it.p, it.n_geo, ds.d, config.ray_eps)
+        blocked = scene_mod.scene_occluded(
+            scene, sh_o, ds.d, t_min=config.ray_eps,
+            t_max=ds.dist - 2.0 * config.ray_eps,
         )
-        survive = u_rr < p_cont
-        throughput = throughput / jnp.maximum(p_cont, 1e-6)[..., None]
-        cont = cont & survive
-
-        delta_now = bsdf_mod.is_delta(mp) | (
-            (bs.sampled_type & (16 | 32 | 64)) > 0  # delta/null lobes
+        is_delta_l = ds.measure == 2  # DISCRETE
+        lpmf = jax.lax.stop_gradient(lpmf)
+        pdf_l_sa = jnp.where(is_delta_l, 1.0, jax.lax.stop_gradient(ds.pdf)) * lpmf
+        w_nee = jnp.where(
+            is_delta_l, 1.0, mc.mis_weight(pdf_l_sa, pdf_b_l)
         )
-        if passthru is not None:
-            # alpha pass-through: continue the unchanged ray from behind the
-            # surface with untouched throughput/MIS state
-            new_o = jnp.where(passthru[..., None],
-                              it.p + carry.d * config.ray_eps, new_o)
-            wi_world = jnp.where(passthru[..., None], carry.d, wi_world)
-            throughput = jnp.where(passthru[..., None], carry.throughput,
-                                   throughput)
-            cont = cont | passthru
-            bs_pdf = jnp.where(passthru, carry.prev_pdf, bs.pdf)
-            delta_now = jnp.where(passthru, carry.prev_delta, delta_now)
-            eta_next = jnp.where(passthru, carry.eta_scale,
-                                 carry.eta_scale * bs.eta * bs.eta)
-        else:
-            bs_pdf = bs.pdf
-            eta_next = carry.eta_scale * bs.eta * bs.eta
+        contrib = (
+            throughput
+            * f_l
+            * Lrad
+            * (w_nee / jnp.maximum(pdf_l_sa, 1e-12))[..., None]
+        )
+        nee_ok = found & ~blocked & (ds.pdf > 0) & (lpmf > 0)
+        L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
+        n_shadow = jnp.sum(found.astype(jnp.float32))
+    else:
+        n_shadow = jnp.float32(0.0)
+
+    # ---- BSDF sampling ----
+    s, u_b2 = s.next_2d()
+    s, u_b1 = s.next_1d()
+    if has_nested:
+        mp_in2 = gather_nested_params(scene, it, config.tex_types,
+                                          uv_width=uv_width)
+        bs = bsdf_mod.sample_bsdf_nested(mp, mp_in2, wo_local, u_b2, u_b1,
+                                         active=config.bsdf_types)
+    else:
+        bs = bsdf_mod.sample_bsdf(mp, wo_local, u_b2, u_b1,
+                                  active=config.bsdf_types)
+    wi_world = it.frame.to_world(bs.wi)
+    new_o = _offset_ray(it.p, it.n_geo, wi_world, config.ray_eps)
+    new_tp = throughput * bs.weight
+    cont = found & (bs.pdf > 0) & (jnp.max(jnp.abs(new_tp), axis=-1) > 0)
+
+    # ---- russian roulette (PathTracer.cu:91-96) ----
+    s, u_rr = s.next_1d()
+    tmax_c = jnp.max(new_tp, axis=-1) * eta_scale
+    p_cont = jax.lax.stop_gradient(
+        mc.russian_roulette_prob(tmax_c, depth, config.rr_start)
+    )
+    survive = u_rr < p_cont
+    new_tp = new_tp / jnp.maximum(p_cont, 1e-6)[..., None]
+    cont = cont & survive
+
+    delta_now = bsdf_mod.is_delta(mp) | (
+        (bs.sampled_type & (16 | 32 | 64)) > 0  # delta/null lobes
+    )
+    if passthru is not None:
+        # alpha pass-through: continue the unchanged ray from behind the
+        # surface with untouched throughput/MIS state
+        new_o = jnp.where(passthru[..., None], it.p + d * config.ray_eps, new_o)
+        wi_world = jnp.where(passthru[..., None], d, wi_world)
+        new_tp = jnp.where(passthru[..., None], throughput, new_tp)
+        cont = cont | passthru
+        bs_pdf = jnp.where(passthru, prev_pdf, bs.pdf)
+        delta_now = jnp.where(passthru, prev_delta, delta_now)
+        eta_next = jnp.where(passthru, eta_scale, eta_scale * bs.eta * bs.eta)
+    else:
+        bs_pdf = bs.pdf
+        eta_next = eta_scale * bs.eta * bs.eta
+    return BounceOut(
+        o=new_o, d=wi_world, throughput=new_tp, L_add=L, cont=cont,
+        bs_pdf=bs_pdf, delta_now=delta_now, eta_scale=eta_next,
+        path_len=path_t, sampler=s,
+        n_rays=jnp.sum(active.astype(jnp.float32)) + n_shadow,
+    )
+
+
+class _Carry(NamedTuple):
+    o: jnp.ndarray
+    d: jnp.ndarray
+    throughput: jnp.ndarray
+    L: jnp.ndarray
+    active: jnp.ndarray
+    sampler: Sampler
+    prev_pdf: jnp.ndarray      # solid-angle pdf of the last BSDF sample
+    prev_delta: jnp.ndarray    # last bounce was a delta lobe (no MIS)
+    eta_scale: jnp.ndarray     # accumulated eta^2 for RR throughput
+    path_len: jnp.ndarray      # accumulated path length (ray-cone footprint)
+    n_rays: jnp.ndarray        # rays actually enqueued (closest + shadow)
+
+
+def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig,
+                   cone=None, with_stats: bool = False):
+    """Estimate radiance along a batch of rays. Returns (L (B,3), sampler).
+
+    `cone`: optional (r0, slope) per-pixel ray-cone (sensors.pixel_spread)
+    driving MIP-mapped texture LOD; None disables texture filtering.
+
+    `with_stats=True` appends a scalar count of rays actually traced — the
+    sum over bounces of alive closest-hit lanes plus NEE shadow rays cast —
+    matching the reference's enqueued-ray counter semantics
+    (Kernel/TraceHelper.h:52-53), NOT the padded lane count."""
+    B = o.shape[0]
+    init = _Carry(
+        o=o,
+        d=d,
+        throughput=jnp.ones((B, 3), jnp.float32),
+        L=jnp.zeros((B, 3), jnp.float32),
+        active=jnp.ones((B,), bool),
+        sampler=sampler,
+        prev_pdf=jnp.zeros((B,), jnp.float32),
+        prev_delta=jnp.ones((B,), bool),   # depth 0: emission counts fully
+        eta_scale=jnp.ones((B,), jnp.float32),
+        path_len=jnp.zeros((B,), jnp.float32),
+        n_rays=jnp.zeros((), jnp.float32),
+    )
+
+    def bounce(carry: _Carry, depth):
+        out = surface_bounce(
+            scene, config,
+            o=carry.o, d=carry.d, active=carry.active,
+            throughput=carry.throughput, prev_pdf=carry.prev_pdf,
+            prev_delta=carry.prev_delta, eta_scale=carry.eta_scale,
+            path_len=carry.path_len, sampler=carry.sampler,
+            depth=depth, cone=cone,
+        )
+        cont = out.cont
         new_carry = _Carry(
-            o=jnp.where(cont[..., None], new_o, carry.o),
-            d=jnp.where(cont[..., None], wi_world, carry.d),
-            throughput=jnp.where(cont[..., None], throughput, carry.throughput),
-            L=L,
+            o=jnp.where(cont[..., None], out.o, carry.o),
+            d=jnp.where(cont[..., None], out.d, carry.d),
+            throughput=jnp.where(cont[..., None], out.throughput,
+                                 carry.throughput),
+            L=carry.L + out.L_add,
             active=cont,
-            sampler=s,
-            prev_pdf=jnp.where(cont, bs_pdf, carry.prev_pdf),
-            prev_delta=jnp.where(cont, delta_now, carry.prev_delta),
-            eta_scale=jnp.where(cont, eta_next, carry.eta_scale),
-            path_len=jnp.where(cont, path_t, carry.path_len),
+            sampler=out.sampler,
+            prev_pdf=jnp.where(cont, out.bs_pdf, carry.prev_pdf),
+            prev_delta=jnp.where(cont, out.delta_now, carry.prev_delta),
+            eta_scale=jnp.where(cont, out.eta_scale, carry.eta_scale),
+            path_len=jnp.where(cont, out.path_len, carry.path_len),
+            n_rays=carry.n_rays + out.n_rays,
         )
         return new_carry, None
 
     final, _ = jax.lax.scan(bounce, init, jnp.arange(config.max_depth))
+    if with_stats:
+        return final.L, final.sampler, final.n_rays
     return final.L, final.sampler
 
 
@@ -424,9 +479,8 @@ def block_order_pixels(width: int, height: int, block: int = 32):
     return jnp.asarray(np.concatenate(ids).astype(np.uint32))
 
 
-@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
-def _render_impl(scene: Scene, width: int, height: int, spp: int, seed,
-                 config: PTConfig):
+def _render_body(scene: Scene, width: int, height: int, spp: int, seed,
+                 config: PTConfig, with_stats: bool):
     import numpy as np
 
     n_px = width * height
@@ -446,7 +500,9 @@ def _render_impl(scene: Scene, width: int, height: int, spp: int, seed,
     o, d, w_cam = sensors.sample_ray(scene.camera, film_uv, u_ap)
 
     cone = sensors.pixel_spread(scene.camera, width, height)
-    L, _ = trace_radiance(scene, o, d, sampler, config, cone=cone)
+    out = trace_radiance(scene, o, d, sampler, config, cone=cone,
+                         with_stats=with_stats)
+    L = out[0]
     L = jnp.nan_to_num(L * w_cam, nan=0.0, posinf=0.0, neginf=0.0)
 
     # the sample->pixel map is a fixed permutation repeated spp times, so the
@@ -454,7 +510,30 @@ def _render_impl(scene: Scene, width: int, height: int, spp: int, seed,
     # (deterministic, and much faster than a 1M-way scatter-add)
     slot_sum = L.reshape(spp, n_px, 3).sum(0) / spp
     inv_perm = jnp.asarray(np.argsort(block_perm_np).astype(np.int32))
-    return slot_sum[inv_perm].reshape(height, width, 3)
+    img = slot_sum[inv_perm].reshape(height, width, 3)
+    if with_stats:
+        return img, out[2]
+    return img
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
+def _render_impl(scene: Scene, width: int, height: int, spp: int, seed,
+                 config: PTConfig):
+    return _render_body(scene, width, height, spp, seed, config, False)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
+def _render_counted_impl(scene: Scene, width: int, height: int, spp: int,
+                         seed, config: PTConfig):
+    return _render_body(scene, width, height, spp, seed, config, True)
+
+
+def render_counted(scene: Scene, width: int, height: int, spp: int, seed,
+                   config: PTConfig = PTConfig()):
+    """Like `render` but also returns the number of rays actually traced
+    (alive closest-hit lanes + NEE shadow rays, summed over bounces)."""
+    config = specialize_config(scene, config)
+    return _render_counted_impl(scene, width, height, spp, seed, config)
 
 
 def render_pass_fn(scene: Scene, width: int, height: int, spp: int,

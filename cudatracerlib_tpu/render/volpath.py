@@ -38,10 +38,12 @@ class _VCarry(NamedTuple):
     sampler: Sampler
     prev_pdf: jnp.ndarray
     prev_delta: jnp.ndarray
+    n_rays: jnp.ndarray
 
 
 def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
-                       sampler: Sampler, config: PTConfig):
+                       sampler: Sampler, config: PTConfig,
+                       with_stats: bool = False):
     B = o.shape[0]
     init = _VCarry(
         o=o, d=d,
@@ -51,6 +53,7 @@ def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
         sampler=sampler,
         prev_pdf=jnp.zeros((B,), jnp.float32),
         prev_delta=jnp.ones((B,), bool),
+        n_rays=jnp.zeros((), jnp.float32),
     )
 
     def bounce(carry: _VCarry, depth):
@@ -130,6 +133,9 @@ def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
                 * (w_nee / jnp.maximum(pdf_l, 1e-12))[..., None]
             ok = (found | medium_event) & ~blocked & (ds.pdf > 0) & (lpmf > 0)
             L = L + jnp.where(ok[..., None], contrib, 0.0)
+            n_shadow = jnp.sum((found | medium_event).astype(jnp.float32))
+        else:
+            n_shadow = jnp.float32(0.0)
 
         # ---- continue the path: phase sample or BSDF sample ----
         s, u_p2 = s.next_2d()
@@ -169,15 +175,18 @@ def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
             L=L, active=cont, sampler=s,
             prev_pdf=jnp.where(cont, new_pdf, carry.prev_pdf),
             prev_delta=jnp.where(cont, delta_now, carry.prev_delta),
+            n_rays=carry.n_rays
+            + jnp.sum(carry.active.astype(jnp.float32)) + n_shadow,
         ), None
 
     final, _ = jax.lax.scan(bounce, init, jnp.arange(config.max_depth))
+    if with_stats:
+        return final.L, final.sampler, final.n_rays
     return final.L, final.sampler
 
 
-@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
-def render_vol(scene: Scene, media: media_mod.Media, width: int, height: int,
-               spp: int, seed, config: PTConfig = PTConfig()):
+def _render_vol_body(scene, media, width, height, spp, seed, config,
+                     with_stats):
     n_px = width * height
     pixel_id = jnp.tile(jnp.arange(n_px, dtype=jnp.uint32), spp)
     sample_idx = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n_px)
@@ -188,7 +197,45 @@ def render_vol(scene: Scene, media: media_mod.Media, width: int, height: int,
     film_uv = jnp.stack([(px + jitter[:, 0]) / width, (py + jitter[:, 1]) / height], -1)
     sampler, u_ap = sampler.next_2d()
     o, d, w_cam = sensors.sample_ray(scene.camera, film_uv, u_ap)
-    L, _ = trace_radiance_vol(scene, media, o, d, sampler, config)
+    out = trace_radiance_vol(scene, media, o, d, sampler, config,
+                             with_stats=with_stats)
     film = film_mod.Film.create(height, width)
-    film = film_mod.add_samples(film, pixel_id.astype(jnp.int32), L * w_cam)
-    return film_mod.develop(film)
+    film = film_mod.add_samples(film, pixel_id.astype(jnp.int32), out[0] * w_cam)
+    img = film_mod.develop(film)
+    if with_stats:
+        return img, out[2]
+    return img
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
+def render_vol(scene: Scene, media: media_mod.Media, width: int, height: int,
+               spp: int, seed, config: PTConfig = PTConfig()):
+    return _render_vol_body(scene, media, width, height, spp, seed, config,
+                            False)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
+def render_vol_counted(scene: Scene, media: media_mod.Media, width: int,
+                       height: int, spp: int, seed,
+                       config: PTConfig = PTConfig()):
+    """(image, rays actually traced) — see trace_radiance with_stats."""
+    return _render_vol_body(scene, media, width, height, spp, seed, config,
+                            True)
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "spp", "n_passes", "config"))
+def render_vol_progressive(scene: Scene, media: media_mod.Media, width: int,
+                           height: int, spp: int, n_passes: int, seed,
+                           config: PTConfig = PTConfig()):
+    """N volumetric passes fused into one dispatch (cf. render_progressive)."""
+    def one_pass(acc, i):
+        img = _render_vol_body(scene, media, width, height, spp,
+                               seed + i, config, False)
+        return acc + img, None
+
+    acc, _ = jax.lax.scan(
+        one_pass, jnp.zeros((height, width, 3), jnp.float32),
+        jnp.arange(n_passes, dtype=jnp.uint32),
+    )
+    return acc / n_passes

@@ -27,22 +27,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..accel import traversal
-from ..image import film as film_mod
-from ..math import montecarlo as mc
-from ..sampling.rng import Sampler, hash_combine
-from ..scene import bsdf as bsdf_mod
-from ..scene import lights as lights_mod
+from ..sampling.rng import Sampler
 from ..scene import sensors
-from ..scene import scene as scene_mod
-from ..scene.scene import Scene, gather_mat_params, make_interaction
-from .path_tracer import (
-    PTConfig,
-    _light_select_pmf,
-    _offset_ray,
-    _select_light,
-    specialize_config,
-)
+from ..scene.scene import Scene
+from .path_tracer import PTConfig, specialize_config, surface_bounce
 
 
 class _Pool(NamedTuple):
@@ -55,6 +43,8 @@ class _Pool(NamedTuple):
     state: jnp.ndarray       # (C,) uint32 sampler state
     prev_pdf: jnp.ndarray    # (C,)
     prev_delta: jnp.ndarray  # (C,) bool
+    eta_scale: jnp.ndarray   # (C,) accumulated eta^2 for RR
+    path_len: jnp.ndarray    # (C,) accumulated path length (texture cones)
     alive: jnp.ndarray       # (C,) bool
 
 
@@ -64,13 +54,23 @@ class _WFState(NamedTuple):
     film_rgb: jnp.ndarray    # (H*W, 3)
     film_w: jnp.ndarray      # (H*W,)
     iters: jnp.ndarray       # ()
+    n_rays: jnp.ndarray      # () float32 — rays actually traced
 
 
-def _camera_ray(scene: Scene, ray_id, seed, width, height, spp):
-    """Decode ray id -> (pixel, o, d, sampler_state). ray_id: (K,) int32."""
+def _camera_ray(scene: Scene, ray_id, seed, width, height, spp,
+                pixel_map=None):
+    """Decode ray id -> (pixel, o, d, sampler_state). ray_id: (K,) int32.
+
+    `pixel_map` ((total,) int32, optional): adaptive ray->pixel assignment
+    from the variance block sampler (render/adaptive.py); None = uniform
+    spp-major layout."""
     n_px = width * height
-    pixel = (ray_id % n_px).astype(jnp.uint32)
-    sample = (ray_id // n_px).astype(jnp.uint32)
+    if pixel_map is not None:
+        pixel = pixel_map[ray_id].astype(jnp.uint32)
+        sample = ray_id.astype(jnp.uint32)  # globally unique per ray
+    else:
+        pixel = (ray_id % n_px).astype(jnp.uint32)
+        sample = (ray_id // n_px).astype(jnp.uint32)
     smp = Sampler.create(seed, pixel, sample)
     smp, jitter = smp.next_2d()
     px = (pixel % width).astype(jnp.float32)
@@ -81,12 +81,15 @@ def _camera_ray(scene: Scene, ray_id, seed, width, height, spp):
     return pixel.astype(jnp.int32), o, d, smp.state
 
 
-@partial(jax.jit, static_argnames=("width", "height", "spp", "config", "capacity"))
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config",
+                                   "capacity", "with_stats"))
 def _wavefront_impl(scene: Scene, width: int, height: int, spp: int, seed,
-                    config: PTConfig, capacity: int):
+                    config: PTConfig, capacity: int,
+                    with_stats: bool = False, pixel_map=None):
     C = capacity
     total = width * height * spp
     n_px = width * height
+    cone = sensors.pixel_spread(scene.camera, width, height)
 
     empty_pool = _Pool(
         o=jnp.zeros((C, 3)), d=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (C, 3)),
@@ -94,6 +97,7 @@ def _wavefront_impl(scene: Scene, width: int, height: int, spp: int, seed,
         pixel=jnp.full((C,), -1, jnp.int32), depth=jnp.zeros((C,), jnp.int32),
         state=jnp.zeros((C,), jnp.uint32),
         prev_pdf=jnp.zeros((C,)), prev_delta=jnp.ones((C,), bool),
+        eta_scale=jnp.ones((C,)), path_len=jnp.zeros((C,)),
         alive=jnp.zeros((C,), bool),
     )
     init = _WFState(
@@ -102,11 +106,8 @@ def _wavefront_impl(scene: Scene, width: int, height: int, spp: int, seed,
         film_rgb=jnp.zeros((n_px, 3)),
         film_w=jnp.zeros((n_px,)),
         iters=jnp.int32(0),
+        n_rays=jnp.float32(0.0),
     )
-
-    lt = config.light_types
-    has_env_static = lt is None or (lights_mod.INFINITE in lt) or (lights_mod.CONSTANT_ENV in lt)
-    has_area_static = lt is None or (lights_mod.AREA_LIGHT in lt)
 
     def cond(st: _WFState):
         return ((st.next_ray < total) | jnp.any(st.pool.alive)) & (
@@ -134,8 +135,8 @@ def _wavefront_impl(scene: Scene, width: int, height: int, spp: int, seed,
         n_taken = jnp.sum(take.astype(jnp.int32))
 
         pix_n, o_n, d_n, state_n = _camera_ray(scene, jnp.maximum(new_id, 0), seed,
-                                               width, height, spp)
-        pool = _Pool(
+                                               width, height, spp, pixel_map)
+        p = _Pool(
             o=jnp.where(take[:, None], o_n, p.o),
             d=jnp.where(take[:, None], d_n, p.d),
             throughput=jnp.where(take[:, None], 1.0, p.throughput),
@@ -145,87 +146,35 @@ def _wavefront_impl(scene: Scene, width: int, height: int, spp: int, seed,
             state=jnp.where(take, state_n, p.state),
             prev_pdf=jnp.where(take, 0.0, p.prev_pdf),
             prev_delta=jnp.where(take, True, p.prev_delta),
+            eta_scale=jnp.where(take, 1.0, p.eta_scale),
+            path_len=jnp.where(take, 0.0, p.path_len),
             alive=p.alive | take,
         )
-        p = pool
 
-        # ---- intersect all lanes ----
-        hit = scene_mod.scene_intersect(scene, p.o, p.d)
-        it = make_interaction(scene, p.o, p.d, hit)
-        found = hit.valid & p.alive
-        L = p.L
-        s = Sampler(state=p.state)
-
-        # ---- env + emission (MIS) ----
-        if has_env_static:
-            env_ids = jnp.broadcast_to(jnp.maximum(scene.env_light_id, 0), (C,))
-            env_L = lights_mod.eval_env(scene.lights, env_ids, p.d)
-            w_env = jnp.where(
-                p.prev_delta | ~jnp.asarray(config.direct), 1.0,
-                mc.mis_weight(p.prev_pdf,
-                              lights_mod.pdf_env_dir(scene.lights, env_ids, p.d)
-                              * _light_select_pmf(scene, env_ids)))
-            escaped = p.alive & ~hit.valid & (scene.env_light_id >= 0)
-            L = L + jnp.where(escaped[:, None], p.throughput * env_L * w_env[:, None], 0.0)
-
-        if has_area_static:
-            mat_light = scene.materials.light_id[it.mat_id]
-            emissive = found & (mat_light >= 0)
-            lid = jnp.maximum(mat_light, 0)
-            Le = lights_mod.eval_area_emission(scene.lights, lid, it.n_geo, -p.d)
-            pdf_hit = lights_mod.pdf_direct_area(scene.lights, lid, p.o, it.p, it.n_geo) \
-                * _light_select_pmf(scene, lid)
-            w_hit = jnp.where(p.prev_delta | ~jnp.asarray(config.direct), 1.0,
-                              mc.mis_weight(p.prev_pdf, pdf_hit))
-            L = L + jnp.where(emissive[:, None], p.throughput * Le * w_hit[:, None], 0.0)
-
-        # ---- NEE ----
-        mp = gather_mat_params(scene, it, config.tex_types)
-        wo_local = it.frame.to_local(-p.d)
-        s, u_sel = s.next_1d()
-        s, u_l2 = s.next_2d()
-        if config.direct and scene.n_lights > 0:
-            lsel, lpmf, _ = _select_light(scene, u_sel)
-            lpmf = jax.lax.stop_gradient(lpmf)
-            ds, Lrad = lights_mod.sample_direct(scene.lights, lsel, it.p, u_l2,
-                                                active=config.light_types)
-            f_l, pdf_b_l = bsdf_mod.eval_bsdf(mp, wo_local, it.frame.to_local(ds.d),
-                                              active=config.bsdf_types)
-            sh_o = _offset_ray(it.p, it.n_geo, ds.d, config.ray_eps)
-            blocked = scene_mod.scene_occluded(scene, sh_o, ds.d, config.ray_eps,
-                                         ds.dist - 2.0 * config.ray_eps)
-            is_delta_l = ds.measure == 2
-            pdf_l = jnp.where(is_delta_l, 1.0, jax.lax.stop_gradient(ds.pdf)) * lpmf
-            w_nee = jnp.where(is_delta_l, 1.0, mc.mis_weight(pdf_l, pdf_b_l))
-            contrib = p.throughput * f_l * Lrad * (w_nee / jnp.maximum(pdf_l, 1e-12))[:, None]
-            ok = found & ~blocked & (ds.pdf > 0) & (lpmf > 0)
-            L = L + jnp.where(ok[:, None], contrib, 0.0)
-
-        # ---- bsdf sample + RR ----
-        s, u_b2 = s.next_2d()
-        s, u_b1 = s.next_1d()
-        bs = bsdf_mod.sample_bsdf(mp, wo_local, u_b2, u_b1, active=config.bsdf_types)
-        wi_world = it.frame.to_world(bs.wi)
-        throughput = p.throughput * bs.weight
-        cont = found & (bs.pdf > 0) & (jnp.max(jnp.abs(throughput), -1) > 0) \
-            & (p.depth + 1 < config.max_depth)
-        s, u_rr = s.next_1d()
-        p_cont = jax.lax.stop_gradient(
-            mc.russian_roulette_prob(jnp.max(throughput, -1), p.depth, config.rr_start))
-        cont = cont & (u_rr < p_cont)
-        throughput = throughput / jnp.maximum(p_cont, 1e-6)[:, None]
-        delta_now = bsdf_mod.is_delta(mp) | ((bs.sampled_type & (16 | 32 | 64)) > 0)
+        # ---- one shared shading bounce (identical to the megakernel) ----
+        out = surface_bounce(
+            scene, config,
+            o=p.o, d=p.d, active=p.alive,
+            throughput=p.throughput, prev_pdf=p.prev_pdf,
+            prev_delta=p.prev_delta, eta_scale=p.eta_scale,
+            path_len=p.path_len, sampler=Sampler(state=p.state),
+            depth=p.depth, cone=cone,
+        )
+        cont = out.cont & (p.depth + 1 < config.max_depth)
+        L = p.L + out.L_add
 
         new_pool = _Pool(
-            o=jnp.where(cont[:, None], _offset_ray(it.p, it.n_geo, wi_world, config.ray_eps), p.o),
-            d=jnp.where(cont[:, None], wi_world, p.d),
-            throughput=jnp.where(cont[:, None], throughput, p.throughput),
+            o=jnp.where(cont[:, None], out.o, p.o),
+            d=jnp.where(cont[:, None], out.d, p.d),
+            throughput=jnp.where(cont[:, None], out.throughput, p.throughput),
             L=L,
             pixel=p.pixel,
             depth=p.depth + 1,
-            state=s.state,
-            prev_pdf=jnp.where(cont, bs.pdf, p.prev_pdf),
-            prev_delta=jnp.where(cont, delta_now, p.prev_delta),
+            state=out.sampler.state,
+            prev_pdf=jnp.where(cont, out.bs_pdf, p.prev_pdf),
+            prev_delta=jnp.where(cont, out.delta_now, p.prev_delta),
+            eta_scale=jnp.where(cont, out.eta_scale, p.eta_scale),
+            path_len=jnp.where(cont, out.path_len, p.path_len),
             alive=cont,
         )
         return _WFState(
@@ -234,6 +183,7 @@ def _wavefront_impl(scene: Scene, width: int, height: int, spp: int, seed,
             film_rgb=film_rgb,
             film_w=film_w,
             iters=st.iters + 1,
+            n_rays=st.n_rays + out.n_rays,
         )
 
     final = jax.lax.while_loop(cond, step, init)
@@ -246,7 +196,10 @@ def _wavefront_impl(scene: Scene, width: int, height: int, spp: int, seed,
     film_w = final.film_w.at[jnp.where(flush, p.pixel, n_px)].add(
         jnp.where(flush, 1.0, 0.0), mode="drop")
     img = film_rgb / jnp.maximum(film_w, 1e-8)[:, None]
-    return img.reshape(height, width, 3)
+    img = img.reshape(height, width, 3)
+    if with_stats:
+        return img, final.n_rays
+    return img
 
 
 def render_wavefront(scene: Scene, width: int, height: int, spp: int, seed,
@@ -257,3 +210,15 @@ def render_wavefront(scene: Scene, width: int, height: int, spp: int, seed,
         capacity = min(width * height * spp, 1 << 20)
     return _wavefront_impl(scene, width, height, spp, jnp.uint32(seed), config,
                            capacity)
+
+
+def render_wavefront_counted(scene: Scene, width: int, height: int, spp: int,
+                             seed, config: PTConfig = PTConfig(),
+                             capacity: int | None = None):
+    """(image, rays actually traced): alive pool lanes + NEE shadow rays per
+    iteration (reference enqueued-ray counter, Kernel/TraceHelper.h:52-53)."""
+    config = specialize_config(scene, config)
+    if capacity is None:
+        capacity = min(width * height * spp, 1 << 20)
+    return _wavefront_impl(scene, width, height, spp, jnp.uint32(seed), config,
+                           capacity, with_stats=True)
