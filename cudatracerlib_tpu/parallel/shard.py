@@ -52,7 +52,8 @@ def _render_shard(scene: Scene, pixel_id, sample_idx, seed, width, height, confi
     )
     sampler, u_ap = sampler.next_2d()
     o, d, w_cam = sensors.sample_ray(scene.camera, film_uv, u_ap)
-    L, _ = trace_radiance(scene, o, d, sampler, config)
+    L, _, n_rays = trace_radiance(scene, o, d, sampler, config,
+                                  with_stats=True)
     L = L * w_cam
 
     film = film_mod.Film.create(height, width)
@@ -60,12 +61,15 @@ def _render_shard(scene: Scene, pixel_id, sample_idx, seed, width, height, confi
     # film psum over the mesh = the distributed Image reduction
     rgb = jax.lax.psum(jax.lax.psum(film.rgb, "dp"), "sp")
     weight = jax.lax.psum(jax.lax.psum(film.weight, "dp"), "sp")
-    return rgb, weight
+    n_rays = jax.lax.psum(jax.lax.psum(n_rays, "dp"), "sp")
+    return rgb, weight, n_rays
 
 
 def make_sharded_render(mesh: Mesh, width: int, height: int, spp: int,
-                        config: PTConfig = PTConfig()):
-    """Build a jitted multi-chip render fn(scene, seed) -> (H, W, 3) image.
+                        config: PTConfig = PTConfig(),
+                        with_stats: bool = False):
+    """Build a jitted multi-chip render fn(scene, seed) -> (H, W, 3) image
+    (with_stats=True: -> (image, rays actually traced, summed over chips)).
 
     Pixels shard over `dp`, spp replicas over `sp`; the scene pytree is
     replicated (in_specs P())."""
@@ -93,7 +97,7 @@ def make_sharded_render(mesh: Mesh, width: int, height: int, spp: int,
         ),
         mesh=mesh,
         in_specs=(P(), P("sp", None, "dp", None), P("sp", None, "dp", None), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         # traversal/scan carries mix replicated scene state with sharded rays;
         # skip the varying-manual-axes check rather than pcast every carry leaf
         check_vma=False,
@@ -101,8 +105,11 @@ def make_sharded_render(mesh: Mesh, width: int, height: int, spp: int,
 
     @jax.jit
     def render_fn(scene: Scene, seed):
-        rgb, weight = shard_fn(scene, pixel_id, sample_idx, seed)
-        return rgb / jnp.maximum(weight, 1e-8)[..., None]
+        rgb, weight, n_rays = shard_fn(scene, pixel_id, sample_idx, seed)
+        img = rgb / jnp.maximum(weight, 1e-8)[..., None]
+        if with_stats:
+            return img, n_rays
+        return img
 
     return render_fn
 
@@ -215,6 +222,17 @@ def make_sharded_ppm(mesh: Mesh, width: int, height: int, spp: int,
 
 
 def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
-    """Place every scene leaf replicated on the mesh."""
+    """Place every scene leaf replicated on the mesh.
+
+    Uses make_array_from_callback rather than device_put: in multi-PROCESS
+    meshes device_put value-checks the host value across processes, and that
+    equality check trips on NaN padding lanes in the scene tables (NaN != NaN)
+    even though every host built the identical scene."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), scene)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    return jax.tree.map(put, scene)
