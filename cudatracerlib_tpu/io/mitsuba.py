@@ -242,9 +242,13 @@ def _parse_phase(node, defaults):
     return tag, float(props.get("g", 0.0))
 
 
-def _load_vol(path: str, grid_res: int) -> Optional[np.ndarray]:
+def _load_vol(path: str, grid_res: int | None = None) -> Optional[np.ndarray]:
     """Mitsuba .vol binary grid (format spec: 'VOL' magic, version 3,
-    encoding 1 = float32, dims, bbox, data) resampled to (R, R, R)."""
+    encoding 1 = float32, dims, bbox, data). Returns the grid at NATIVE
+    resolution, (nx, ny, nz) scalar or (nx, ny, nz, 3) RGB, index order
+    x,y,z — scene/media.py stores arbitrary-resolution grids directly.
+    `grid_res` forces a (nearest) resample for callers that need a fixed
+    shape."""
     import struct
 
     with open(path, "rb") as f:
@@ -258,16 +262,19 @@ def _load_vol(path: str, grid_res: int) -> Optional[np.ndarray]:
         if encoding != 1:
             return None
         data = np.frombuffer(f.read(nx * ny * nz * channels * 4), "<f4")
-        data = data.reshape(nz, ny, nx, channels)[..., 0]
-    # resample (nearest) to the static grid resolution, index order x,y,z
-    d = np.transpose(data, (2, 1, 0))
-    ix = np.clip((np.arange(grid_res) + 0.5) / grid_res * d.shape[0], 0,
-                 d.shape[0] - 1).astype(int)
-    iy = np.clip((np.arange(grid_res) + 0.5) / grid_res * d.shape[1], 0,
-                 d.shape[1] - 1).astype(int)
-    iz = np.clip((np.arange(grid_res) + 0.5) / grid_res * d.shape[2], 0,
-                 d.shape[2] - 1).astype(int)
-    return d[np.ix_(ix, iy, iz)].astype(np.float32)
+        data = data.reshape(nz, ny, nx, channels)
+    d = np.transpose(data, (2, 1, 0, 3)).astype(np.float32)
+    if channels not in (1, 3):
+        d = d[..., :1]
+    if grid_res is not None:
+        ix = np.clip((np.arange(grid_res) + 0.5) / grid_res * d.shape[0], 0,
+                     d.shape[0] - 1).astype(int)
+        iy = np.clip((np.arange(grid_res) + 0.5) / grid_res * d.shape[1], 0,
+                     d.shape[1] - 1).astype(int)
+        iz = np.clip((np.arange(grid_res) + 0.5) / grid_res * d.shape[2], 0,
+                     d.shape[2] - 1).astype(int)
+        d = d[np.ix_(ix, iy, iz)]
+    return d[..., 0] if d.shape[-1] == 1 else d
 
 
 def _parse_medium(node, sb: _SceneBuilder, defaults, box=None) -> dict:
@@ -305,7 +312,7 @@ def _parse_medium(node, sb: _SceneBuilder, defaults, box=None) -> dict:
             if vol.get("type") == "gridvolume":
                 fn = os.path.join(sb.base_dir, vprops.get("filename", ""))
                 if os.path.exists(fn):
-                    d = _load_vol(fn, M.GRID_RES)
+                    d = _load_vol(fn)  # native resolution, scalar or RGB
                     if d is not None:
                         rec["density"] = d
             elif vol.get("type") == "constvolume":

@@ -36,7 +36,7 @@ from ..scene import scene as scene_mod
 from ..scene.scene import Scene, gather_mat_params, make_interaction
 from .path_tracer import PTConfig, _light_select_pmf, _offset_ray, _select_light, specialize_config
 
-S_MAX = 4  # stored light vertices (reference MAX_LIGHT_PATH_LENGTH=5, VCMHelper.h:20)
+S_MAX = 5  # stored light vertices (parity: reference MAX_LIGHT_PATH_LENGTH=5, VCMHelper.h:20-21)
 
 
 class BDPTConfig(NamedTuple):
@@ -115,6 +115,7 @@ def _trace_light_subpath(scene: Scene, B: int, seed, cfg: PTConfig, s_max: int):
               alive=jnp.ones((B,), bool), smp=smp)
 
     def step(c: _C, depth):
+        n_rays = jnp.sum(c.alive.astype(jnp.float32))
         hit = scene_mod.scene_intersect(scene, c.o, c.d)
         it = make_interaction(scene, c.o, c.d, hit)
         found = hit.valid & c.alive
@@ -158,10 +159,10 @@ def _trace_light_subpath(scene: Scene, B: int, seed, cfg: PTConfig, s_max: int):
             d_vcm=new_d_vcm, d_vc=new_d_vc,
             alive=cont, smp=s,
         )
-        return new, vtx
+        return new, (vtx, n_rays)
 
-    _, verts = jax.lax.scan(step, init, jnp.arange(s_max))
-    return verts  # pytree of (S, B, ...) arrays
+    _, (verts, n_rays) = jax.lax.scan(step, init, jnp.arange(s_max))
+    return verts, jnp.sum(n_rays)  # pytree of (S, B, ...) arrays + ray count
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
@@ -171,7 +172,7 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
     n_px = width * height
     B = n_px * spp
 
-    lverts = _trace_light_subpath(scene, B, seed, cfg, config.s_max)
+    lverts, rays_total = _trace_light_subpath(scene, B, seed, cfg, config.s_max)
 
     # ---- t = 1: splat every light vertex to the camera ----
     splat_film = jnp.zeros((n_px, 3))
@@ -197,6 +198,7 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
         mis = 1.0 / (w_light + 1.0)
 
         sh_o = _offset_ray(lv.p, it_l.n_geo, d_cam, cfg.ray_eps)
+        rays_total = rays_total + jnp.sum((lv.valid & in_frustum).astype(jnp.float32))
         blocked = scene_mod.scene_occluded(scene, sh_o, d_cam, cfg.ray_eps,
                                      dist_cam - 2 * cfg.ray_eps)
         contrib = lv.thr * f_noc * (mis * cos_cam * cam_pdf_a / B /
@@ -233,14 +235,16 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
         d_vc: jnp.ndarray
         alive: jnp.ndarray
         smp: Sampler
+        n_rays: jnp.ndarray
 
     init = _E(
         o=o, d=d, w=jnp.ones((B, 3)), L=jnp.zeros((B, 3)),
         d_vcm=B / jnp.maximum(cam_pdf_w0, 1e-9), d_vc=jnp.zeros((B,)),
-        alive=jnp.ones((B,), bool), smp=smp,
+        alive=jnp.ones((B,), bool), smp=smp, n_rays=jnp.zeros(()),
     )
 
     def eye_step(c: _E, depth):
+        n_rays = c.n_rays + jnp.sum(c.alive.astype(jnp.float32))
         hit = scene_mod.scene_intersect(scene, c.o, c.d)
         it = make_interaction(scene, c.o, c.d, hit)
         found = hit.valid & c.alive
@@ -280,6 +284,7 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
             f_l, pdf_b_fwd = bsdf_mod.eval_bsdf(mp, wo_local, wi_l, active=cfg.bsdf_types)
             _, pdf_b_rev = bsdf_mod.eval_bsdf(mp, wi_l, wo_local, active=cfg.bsdf_types)
             sh_o = _offset_ray(it.p, it.n_geo, ds.d, cfg.ray_eps)
+            n_rays = n_rays + jnp.sum(found.astype(jnp.float32))
             blocked = scene_mod.scene_occluded(scene, sh_o, ds.d, cfg.ray_eps,
                                          ds.dist - 2 * cfg.ray_eps)
             is_delta_l = ds.measure == 2
@@ -330,6 +335,7 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
             mis2 = 1.0 / (w_light_m + 1.0 + w_cam_m)
 
             sh_o = _offset_ray(it.p, it.n_geo, dir_c, cfg.ray_eps)
+            n_rays = n_rays + jnp.sum((found & lv.valid).astype(jnp.float32))
             blocked = scene_mod.scene_occluded(
                 scene, sh_o, dir_c, cfg.ray_eps,
                 jnp.sqrt(dist2_c) - 2 * cfg.ray_eps,
@@ -358,7 +364,7 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
             d=jnp.where(cont[..., None], wi_world, c.d),
             w=jnp.where(cont[..., None], c.w * bs.weight, c.w),
             L=L, d_vcm=new_d_vcm, d_vc=new_d_vc,
-            alive=cont, smp=s,
+            alive=cont, smp=s, n_rays=n_rays,
         )
         return new, None
 
@@ -368,12 +374,22 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
     film = film.at[pixel_id.astype(jnp.int32)].add(
         jnp.nan_to_num(final.L * w_cam, nan=0.0, posinf=0.0, neginf=0.0)
     )
-    img = film / spp + splat_film
-    return img.reshape(height, width, 3)
+    img = (film / spp + splat_film).reshape(height, width, 3)
+    return img, rays_total + final.n_rays
 
 
 def render_bdpt(scene: Scene, width: int, height: int, spp: int, seed,
                 config: BDPTConfig = BDPTConfig()):
+    base = specialize_config(scene, config.base)
+    return _bdpt_impl(scene, width, height, spp, jnp.uint32(seed),
+                      config._replace(base=base))[0]
+
+
+def render_bdpt_counted(scene: Scene, width: int, height: int, spp: int, seed,
+                        config: BDPTConfig = BDPTConfig()):
+    """(image, rays actually enqueued): alive light/eye subpath lanes plus
+    every shadow ray cast (t=1 splats, NEE, vertex connections) — the
+    reference's traced-ray counter semantics (Kernel/TraceHelper.h:52-53)."""
     base = specialize_config(scene, config.base)
     return _bdpt_impl(scene, width, height, spp, jnp.uint32(seed),
                       config._replace(base=base))

@@ -46,8 +46,13 @@ class PhotonMap(NamedTuple):
     valid: jnp.ndarray    # (P,) bool
 
 
-def trace_photons(scene: Scene, n_photons: int, seed, config: PTConfig) -> PhotonMap:
-    """Photon pass: emit + walk + deposit (ParticleProcess equivalent)."""
+def trace_photons(scene: Scene, n_photons: int, seed, config: PTConfig,
+                  with_stats: bool = False) -> PhotonMap:
+    """Photon pass: emit + walk + deposit (ParticleProcess equivalent).
+
+    with_stats=True also returns the number of rays actually enqueued (sum of
+    alive walk lanes per bounce, the reference's traced-ray counter
+    semantics, Kernel/TraceHelper.h:52-53)."""
     B = n_photons
     smp = Sampler.create(seed, jnp.arange(B, dtype=jnp.uint32), jnp.uint32(0xF00D))
     smp, u_sel = smp.next_1d()
@@ -67,6 +72,7 @@ def trace_photons(scene: Scene, n_photons: int, seed, config: PTConfig) -> Photo
     init = _C(o=o, d=d, w=w, alive=jnp.ones((B,), bool), smp=smp)
 
     def bounce(c: _C, depth):
+        n_rays = jnp.sum(c.alive.astype(jnp.float32))
         hit = scene_mod.scene_intersect(scene, c.o, c.d)
         it = make_interaction(scene, c.o, c.d, hit)
         found = hit.valid & c.alive
@@ -105,15 +111,18 @@ def trace_photons(scene: Scene, n_photons: int, seed, config: PTConfig) -> Photo
             alive=cont,
             smp=s,
         )
-        return new, photon
+        return new, (photon, n_rays)
 
-    _, photons = jax.lax.scan(bounce, init, jnp.arange(config.max_depth))
+    _, (photons, n_rays) = jax.lax.scan(bounce, init, jnp.arange(config.max_depth))
     p, power, wi, n, valid = photons  # each (depth, B, ...)
     flat = lambda x: x.reshape((-1,) + x.shape[2:])
-    return PhotonMap(
+    pm = PhotonMap(
         p=flat(p), power=flat(power) / n_photons, wi=flat(wi), n=flat(n),
         valid=flat(valid),
     )
+    if with_stats:
+        return pm, jnp.sum(n_rays)
+    return pm
 
 
 def progressive_radius(r0, pass_idx):

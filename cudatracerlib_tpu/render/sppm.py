@@ -139,7 +139,7 @@ def trace_photons_vol(scene: Scene, media: media_mod.Media, n_photons: int,
         t_surf = jnp.where(hit.valid, hit.t, 1e8)
 
         s = c.smp
-        s, t_m, scat, w_med, vid, p_scat = media_mod.sample_distance(
+        s, t_m, scat, w_med, vid, p_scat, _ = media_mod.sample_distance(
             media, c.o, c.d, config.ray_eps, t_surf, s
         )
         w_here = c.w * jnp.where(c.alive[..., None], w_med, 1.0)

@@ -64,7 +64,7 @@ def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
         t_surf = jnp.where(hit.valid, hit.t, 1e8)
 
         # ---- medium event along [eps, t_surf] ----
-        s, t_m, scat, w_med, vid, p_scat = media_mod.sample_distance(
+        s, t_m, scat, w_med, vid, p_scat, v_emit = media_mod.sample_distance(
             media, carry.o, carry.d, config.ray_eps, t_surf, s
         )
         throughput = carry.throughput * jnp.where(carry.active[..., None], w_med, 1.0)
@@ -91,9 +91,10 @@ def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
         w_hit = jnp.where(carry.prev_delta, 1.0, mc.mis_weight(carry.prev_pdf, pdf_hit))
         L = L + jnp.where(emissive[..., None], throughput * Le * w_hit[..., None], 0.0)
 
-        # ---- medium emission ----
+        # ---- medium emission Lve (collision-sampled estimator; v_emit
+        # already carries Tr * sigma_a * Le / pdf for this segment) ----
         L = L + jnp.where(medium_event[..., None],
-                          throughput * media.le[vid], 0.0)
+                          carry.throughput * v_emit, 0.0)
 
         # ---- NEE from either the medium point or the surface point ----
         mp = gather_mat_params(scene, it)

@@ -1,13 +1,19 @@
 """Participating media: homogeneous + dense-grid volumes.
 
 Counterpart of reference ``SceneTypes/Volumes.h:289`` (HomogeneousVolumeDensity
-:54, VolumeGrid with trilinear dense grids :184, KernelAggregateVolume union of
-<=16 volumes :339-395): sigma_a/sigma_s/Le lookups, transmittance `tau`, and
-distance sampling. TPU design: one SoA table of volumes; grid data lives in a
-fixed-size stacked 4-D array (V, R, R, R) per channel; transmittance along a
-ray uses ratio tracking for grids and the closed form for homogeneous media —
-all differentiable w.r.t. sigma/albedo/Le (BASELINE config 4's
-"transmittance gradients").
+:54, VolumeGrid with per-channel sigma_a/sigma_s/Le trilinear dense grids
+:116-184, KernelAggregateVolume union of <=16 volumes :339-395):
+sigma_a/sigma_s/Le lookups, transmittance `tau`, volume emission `Lve`, and
+distance sampling.
+
+TPU design: one SoA table of <=16 volumes; grid data lives in a single flat
+f32 buffer with per-volume (offset, resolution, channel-count) records, so
+every volume keeps its LOAD-TIME resolution (no resampling) and each of
+sigma_a / sigma_s / Le can carry its own scalar or RGB grid — the reference's
+``DenseVolGrid`` trio. Lookups are 8-corner flat gathers (never `grid[vid]`,
+which would materialize a full R^3 grid per query). Everything is
+differentiable w.r.t. sigma/albedo/Le AND the grid voxels themselves
+(BASELINE config 4's "transmittance gradients").
 """
 from __future__ import annotations
 
@@ -23,22 +29,33 @@ from ..sampling.rng import Sampler
 HOMOGENEOUS = 0
 GRID = 1
 
-GRID_RES = 32  # fixed grid resolution per axis (resampled at load)
-MAX_VOLUMES = 4
-TAU_STEPS = 32  # fixed quadrature/tracking steps along a segment
+GRID_RES = 32   # default resolution for procedurally built grids (loaders
+                # keep native resolution; nothing is resampled any more)
+MAX_VOLUMES = 16  # aggregate capacity (reference KernelAggregateVolume <=16)
+TAU_STEPS = 32  # fixed quadrature steps along a segment
 
 
 class Media(NamedTuple):
     active: jnp.ndarray     # (V,) int32 0/1
     vtype: jnp.ndarray      # (V,) int32
-    sigma_a: jnp.ndarray    # (V, 3)
-    sigma_s: jnp.ndarray    # (V, 3)
-    le: jnp.ndarray         # (V, 3) emission
+    sigma_a: jnp.ndarray    # (V, 3) base absorption (grid multiplies this)
+    sigma_s: jnp.ndarray    # (V, 3) base scattering
+    le: jnp.ndarray         # (V, 3) base emission
     phase_type: jnp.ndarray # (V,) int32 (scene/phase.py tags)
     phase_g: jnp.ndarray    # (V,)
     box_min: jnp.ndarray    # (V, 3)
     box_max: jnp.ndarray    # (V, 3)
-    density: jnp.ndarray    # (V, R, R, R) density multiplier for GRID (1 dummy)
+    # per-channel dense grids, flat-packed at native resolution:
+    grid_data: jnp.ndarray  # (TOTAL,) f32; index 0 holds 1.0 (dummy)
+    res: jnp.ndarray        # (V, 3) int32 grid resolution (1,1,1) if none
+    off_a: jnp.ndarray      # (V,) int32 offset of sigma_a grid, -1 = constant
+    off_s: jnp.ndarray      # (V,) int32 offset of sigma_s grid, -1 = constant
+    off_le: jnp.ndarray     # (V,) int32 offset of Le grid, -1 = constant
+    ch_a: jnp.ndarray       # (V,) int32 channels (1 or 3)
+    ch_s: jnp.ndarray       # (V,) int32
+    ch_le: jnp.ndarray      # (V,) int32
+    maj_a: jnp.ndarray      # (V,) f32 max sigma_a-grid value (1 if constant)
+    maj_s: jnp.ndarray      # (V,) f32 max sigma_s-grid value
 
     @property
     def count(self) -> int:
@@ -46,7 +63,20 @@ class Media(NamedTuple):
 
     @staticmethod
     def build(records: list[dict]) -> "Media":
-        v = MAX_VOLUMES
+        """Records: {type, sigma_a, sigma_s, le, phase_type, phase_g,
+        box_min, box_max} plus, for GRID volumes, any of
+          density        — legacy single scalar grid applied to sigma_a AND
+                           sigma_s (reference VolumeGrid single-grid mode)
+          sigma_a_grid / sigma_s_grid / le_grid
+                         — (rx, ry, rz) scalar or (rx, ry, rz, 3) RGB arrays
+                           at arbitrary (native) resolution.
+        All grids of one volume must share a resolution.
+
+        The SoA tables are sized by the ACTUAL record count (shape
+        specialization: a 1-volume scene compiles 1-volume programs), with
+        MAX_VOLUMES as the aggregate capacity cap."""
+        assert len(records) <= MAX_VOLUMES, "aggregate capacity is 16 volumes"
+        v = max(len(records), 1)
         out = dict(
             active=np.zeros(v, np.int32),
             vtype=np.zeros(v, np.int32),
@@ -58,8 +88,31 @@ class Media(NamedTuple):
             box_min=np.zeros((v, 3), np.float32),
             box_max=np.ones((v, 3), np.float32),
         )
-        density = np.ones((v, GRID_RES, GRID_RES, GRID_RES), np.float32)
-        for i, r in enumerate(records[:v]):
+        res = np.ones((v, 3), np.int32)
+        off = {k: np.full(v, -1, np.int32) for k in ("a", "s", "le")}
+        ch = {k: np.ones(v, np.int32) for k in ("a", "s", "le")}
+        maj_a = np.ones(v, np.float32)
+        maj_s = np.ones(v, np.float32)
+        pool: list[np.ndarray] = [np.ones(1, np.float32)]  # dummy slot 0
+        total = 1
+
+        def push(arr) -> tuple[int, int, tuple[int, int, int], float]:
+            nonlocal total
+            a = np.asarray(arr, np.float32)
+            if a.ndim == 3:
+                nch, rshape = 1, a.shape
+                flat = a.reshape(-1)
+            else:
+                assert a.ndim == 4 and a.shape[-1] == 3, "grid must be 3-D or 3-D RGB"
+                nch, rshape = 3, a.shape[:3]
+                # channel-major layout: [c][x][y][z]
+                flat = np.moveaxis(a, -1, 0).reshape(-1)
+            o = total
+            pool.append(flat)
+            total += flat.size
+            return o, nch, rshape, float(a.max(initial=0.0))
+
+        for i, r in enumerate(records):
             out["active"][i] = 1
             out["vtype"][i] = r.get("type", HOMOGENEOUS)
             out["sigma_a"][i] = r.get("sigma_a", [0.1] * 3)
@@ -69,12 +122,40 @@ class Media(NamedTuple):
             out["phase_g"][i] = r.get("phase_g", 0.0)
             out["box_min"][i] = r.get("box_min", [0, 0, 0])
             out["box_max"][i] = r.get("box_max", [1, 1, 1])
-            if "density" in r:
-                d = np.asarray(r["density"], np.float32)
-                assert d.shape == (GRID_RES,) * 3, "resample density to GRID_RES^3"
-                density[i] = d
-        return Media(**{k: jnp.asarray(x) for k, x in out.items()},
-                     density=jnp.asarray(density))
+            rres = None
+            if "density" in r:  # legacy: one grid drives both sigma_a and sigma_s
+                o, nch, rres, mx = push(r["density"])
+                off["a"][i] = off["s"][i] = o
+                ch["a"][i] = ch["s"][i] = nch
+                maj_a[i] = maj_s[i] = mx
+            if "sigma_a_grid" in r:
+                o, nch, rres2, mx = push(r["sigma_a_grid"])
+                assert rres is None or rres == rres2
+                rres = rres2
+                off["a"][i], ch["a"][i], maj_a[i] = o, nch, mx
+            if "sigma_s_grid" in r:
+                o, nch, rres2, mx = push(r["sigma_s_grid"])
+                assert rres is None or rres == rres2
+                rres = rres2
+                off["s"][i], ch["s"][i], maj_s[i] = o, nch, mx
+            if "le_grid" in r:
+                o, nch, rres2, _ = push(r["le_grid"])
+                assert rres is None or rres == rres2
+                rres = rres2
+                off["le"][i], ch["le"][i] = o, nch
+            if rres is not None:
+                res[i] = rres
+
+        return Media(
+            **{k: jnp.asarray(x) for k, x in out.items()},
+            grid_data=jnp.asarray(np.concatenate(pool)),
+            res=jnp.asarray(res),
+            off_a=jnp.asarray(off["a"]), off_s=jnp.asarray(off["s"]),
+            off_le=jnp.asarray(off["le"]),
+            ch_a=jnp.asarray(ch["a"]), ch_s=jnp.asarray(ch["s"]),
+            ch_le=jnp.asarray(ch["le"]),
+            maj_a=jnp.asarray(maj_a), maj_s=jnp.asarray(maj_s),
+        )
 
     @staticmethod
     def empty() -> "Media":
@@ -90,25 +171,35 @@ def _ray_box(box_min, box_max, o, d, t_min, t_max):
     return near, far, near < far
 
 
-def _grid_density(media: Media, vid, p):
-    """Trilinear density lookup in volume vid's local box (DenseVolGrid).
+def _grid_lookup(media: Media, vid, p, off, nch):
+    """Trilinear (..., 3) lookup of one per-volume grid channel set.
 
-    The 8 corner fetches index a FLATTENED (V*R^3,) density array with scalar
-    ids — never `density[vid]`, which would materialize a full R^3 grid per
-    query point (a (B, R, R, R) temp: 16 GB HBM for 32k queries) instead of
-    8 B-sized gathers."""
+    `off`/`nch` are the per-ray gathered offset/channel arrays. The 8 corner
+    fetches (x3 channels) index the FLAT grid_data buffer with scalar ids —
+    never `grid[vid]`, which would materialize a full R^3 grid per query
+    point (a (B, R, R, R) temp: tens of GB at bench batch sizes). Grids with
+    off < 0 return 1.0. Scalar grids (nch==1) broadcast via a 0 channel
+    stride."""
     lo = media.box_min[vid]
     hi = media.box_max[vid]
-    q = (p - lo) / jnp.maximum(hi - lo, 1e-9) * (GRID_RES - 1)
-    q = jnp.clip(q, 0.0, GRID_RES - 1 - 1e-4)
+    r = media.res[vid]  # (..., 3) int32
+    rf = r.astype(jnp.float32)
+    q = (p - lo) / jnp.maximum(hi - lo, 1e-9) * (rf - 1)
+    q = jnp.clip(q, 0.0, jnp.maximum(rf - 1, 0.0) * (1 - 1e-6))
     i0 = jnp.floor(q).astype(jnp.int32)
     f = q - i0
-    i1 = jnp.minimum(i0 + 1, GRID_RES - 1)
-    flat = media.density.reshape(-1)
-    base = vid * (GRID_RES * GRID_RES * GRID_RES)
+    i1 = jnp.minimum(i0 + 1, r - 1)
+    rx, ry, rz = r[..., 0], r[..., 1], r[..., 2]
+    r3 = rx * ry * rz
+    has = off >= 0
+    base = jnp.where(has, off, 0)
+    cstride = jnp.where(nch == 3, r3, 0)  # scalar grids broadcast
+    flat = media.grid_data
 
     def corner(ax, ay, az):
-        return flat[base + (ax * GRID_RES + ay) * GRID_RES + az]
+        idx = base[..., None] + cstride[..., None] * jnp.arange(3) \
+            + ((ax * ry + ay) * rz + az)[..., None]
+        return flat[idx]  # (..., 3)
 
     c000 = corner(i0[..., 0], i0[..., 1], i0[..., 2])
     c100 = corner(i1[..., 0], i0[..., 1], i0[..., 2])
@@ -118,49 +209,79 @@ def _grid_density(media: Media, vid, p):
     c101 = corner(i1[..., 0], i0[..., 1], i1[..., 2])
     c011 = corner(i0[..., 0], i1[..., 1], i1[..., 2])
     c111 = corner(i1[..., 0], i1[..., 1], i1[..., 2])
-    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    fx = f[..., 0:1]
+    fy = f[..., 1:2]
+    fz = f[..., 2:3]
     c00 = c000 * (1 - fx) + c100 * fx
     c10 = c010 * (1 - fx) + c110 * fx
     c01 = c001 * (1 - fx) + c101 * fx
     c11 = c011 * (1 - fx) + c111 * fx
     c0 = c00 * (1 - fy) + c10 * fy
     c1 = c01 * (1 - fy) + c11 * fy
-    return c0 * (1 - fz) + c1 * fz
+    val = c0 * (1 - fz) + c1 * fz
+    return jnp.where(has[..., None], val, 1.0)
+
+
+def _inside(media: Media, vid, p):
+    ins = jnp.all((p >= media.box_min[vid]) & (p <= media.box_max[vid]), axis=-1)
+    return ins & (media.active[vid] > 0)
+
+
+def _mult(media: Media, vid, p, off_field, ch_field):
+    """(..., 3) grid multiplier for one quantity; 1 outside GRID volumes."""
+    is_grid = media.vtype[vid] == GRID
+    m = _grid_lookup(media, vid, p, off_field[vid], ch_field[vid])
+    return jnp.where(is_grid[..., None], m, 1.0)
 
 
 def density_at(media: Media, vid, p):
-    """Density multiplier at world point p (inside-box check included)."""
-    inside = jnp.all((p >= media.box_min[vid]) & (p <= media.box_max[vid]), axis=-1)
-    base = jnp.where(media.vtype[vid] == GRID, _grid_density(media, vid, p), 1.0)
-    return jnp.where(inside & (media.active[vid] > 0), base, 0.0)
+    """Scalar (channel-mean sigma_a-grid) density multiplier at p — legacy
+    single-grid semantics used by photon-beam estimators."""
+    m = jnp.mean(_mult(media, vid, p, media.off_a, media.ch_a), axis=-1)
+    return jnp.where(_inside(media, vid, p), m, 0.0)
+
+
+def sigma_a_at(media: Media, vid, p):
+    ins = _inside(media, vid, p)[..., None]
+    return jnp.where(ins, media.sigma_a[vid] * _mult(media, vid, p, media.off_a, media.ch_a), 0.0)
+
+
+def sigma_s_at(media: Media, vid, p):
+    ins = _inside(media, vid, p)[..., None]
+    return jnp.where(ins, media.sigma_s[vid] * _mult(media, vid, p, media.off_s, media.ch_s), 0.0)
 
 
 def sigma_t_at(media: Media, vid, p):
-    dens = density_at(media, vid, p)
-    return (media.sigma_a[vid] + media.sigma_s[vid]) * dens[..., None]
+    return sigma_a_at(media, vid, p) + sigma_s_at(media, vid, p)
+
+
+def le_at(media: Media, vid, p):
+    """Volume emission Lve (reference VolumeRegion::Lve, Volumes.h)."""
+    ins = _inside(media, vid, p)[..., None]
+    return jnp.where(ins, media.le[vid] * _mult(media, vid, p, media.off_le, media.ch_le), 0.0)
 
 
 def tau_segment(media: Media, vid, o, d, t0, t1):
-    """Optical depth along [t0, t1] — closed form for homogeneous, fixed-step
-    quadrature for grids (reference VolumeRegion::tau; TPU: static step count,
-    differentiable)."""
+    """Per-channel optical depth along [t0, t1] — closed form for homogeneous,
+    fixed-step midpoint quadrature for grids (reference VolumeRegion::tau;
+    TPU: static step count, differentiable)."""
     seg = jnp.maximum(t1 - t0, 0.0)
-    # homogeneous
     st = media.sigma_a[vid] + media.sigma_s[vid]
     tau_h = st * seg[..., None]
-    # grid: midpoint rule over TAU_STEPS
     dt = seg / TAU_STEPS
     ts = t0[..., None] + (jnp.arange(TAU_STEPS, dtype=jnp.float32) + 0.5) * dt[..., None]
     pts = o[..., None, :] + d[..., None, :] * ts[..., None]
-    dens = _grid_density(media, vid[..., None], pts)  # broadcast over steps
-    tau_g = st * (jnp.sum(dens, axis=-1) * dt)[..., None]
+    vv = vid[..., None]
+    st_pts = media.sigma_a[vv] * _mult(media, vv, pts, media.off_a, media.ch_a) \
+        + media.sigma_s[vv] * _mult(media, vv, pts, media.off_s, media.ch_s)
+    tau_g = jnp.sum(st_pts, axis=-2) * dt[..., None]
     return jnp.where((media.vtype[vid] == GRID)[..., None], tau_g, tau_h)
 
 
 def segment_in_media(media: Media, o, d, t_min, t_max):
     """True where the ray segment overlaps any active volume's box."""
     inside = jnp.zeros(o.shape[:-1], bool)
-    for v in range(MAX_VOLUMES):
+    for v in range(media.count):
         near, far, hit = _ray_box(media.box_min[v], media.box_max[v], o, d,
                                   t_min, t_max)
         inside = inside | (hit & (media.active[v] > 0))
@@ -172,11 +293,11 @@ def sigma_at(media: Media, p):
     at world point p (aggregate-volume union semantics)."""
     ss = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
     st = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
-    for v in range(MAX_VOLUMES):
+    for v in range(media.count):
         vid = jnp.full(p.shape[:-1], v, jnp.int32)
-        dens = density_at(media, vid, p)[..., None]
-        ss = ss + media.sigma_s[v] * dens
-        st = st + (media.sigma_a[v] + media.sigma_s[v]) * dens
+        s_s = sigma_s_at(media, vid, p)
+        ss = ss + s_s
+        st = st + s_s + sigma_a_at(media, vid, p)
     return ss, st
 
 
@@ -184,7 +305,7 @@ def transmittance(media: Media, o, d, t_min, t_max):
     """Total transmittance over all active volumes along [t_min, t_max]
     (KernelAggregateVolume union semantics, Volumes.h:339-395)."""
     tr = jnp.ones(o.shape[:-1] + (3,), jnp.float32)
-    for v in range(MAX_VOLUMES):
+    for v in range(media.count):
         vid = jnp.full(o.shape[:-1], v, jnp.int32)
         near, far, hit = _ray_box(media.box_min[v], media.box_max[v], o, d, t_min, t_max)
         tau = tau_segment(media, vid, o, d, near, jnp.maximum(far, near))
@@ -194,77 +315,124 @@ def transmittance(media: Media, o, d, t_min, t_max):
 
 
 def sample_distance(media: Media, o, d, t_min, t_max, sampler: Sampler):
-    """Sample a scattering distance against the union medium.
+    """Sample a scattering distance against the UNION of all volumes
+    (KernelAggregateVolume::sampleDistance semantics, Volumes.h:339-395).
 
-    Returns (sampler, t, inside_medium, weight (..,3), vid, p_scatter):
-    standard closed-form sampling for homogeneous media / ratio tracking-style
-    single-volume handling for grids (majorant = max density).
-    weight = sigma_s * Tr / pdf for medium events, Tr / P(surface) for
-    pass-through (reference VolumeRegion::sampleDistance semantics).
+    Null-collision (delta/Woodcock) tracking under a per-ray union majorant:
+    candidates are drawn from Exp(majorant) over the union extent; each is a
+    REAL collision with probability sigma_t(p)/majorant, else a null
+    collision and tracking continues — so disjoint stacked volumes, gaps
+    between boxes, overlaps, and arbitrary-resolution grids are all sampled
+    without bias. Homogeneous single-volume rays accept the first candidate
+    (ratio == 1), reproducing the closed form exactly.
+
+    Returns (sampler, t, scatter, weight (..,3), vid, p_scatter, emit):
+    weight = sigma_s * Tr / pdf for medium events, Tr / pdf(pass) for
+    pass-through; `emit` = Tr * sigma_a * Le / pdf at the collision — an
+    unbiased single-sample estimator of the emitted radiance integral Lve.
+    The realized decision sequence's pdf is DETACHED while Tr and the sigmas
+    stay attached, so autodiff of the fixed-noise estimator matches finite
+    differences (the BASELINE transmittance-gradient gate).
+
+    The tracking scan is bounded (TRACK_STEPS); lanes that exhaust it are
+    treated as pass-through with the surviving-probability pdf — a vanishing
+    tail bias for majorant * extent up to ~TRACK_STEPS/2.
     """
     B = o.shape[:-1]
-    # find first active volume overlapping the segment (union of <= MAX simplification:
-    # nearest box wins; typical scenes have one medium)
-    best_near = jnp.full(B, jnp.inf)
-    best_far = jnp.zeros(B)
-    best_vid = jnp.full(B, -1, jnp.int32)
-    for v in range(MAX_VOLUMES):
+    V = media.count
+    track_steps = 8 if V == 1 else 16
+
+    # union extent + summed majorant over active volumes hit by the segment
+    u_near = jnp.full(B, jnp.inf)
+    u_far = jnp.zeros(B)
+    maj = jnp.zeros(B)
+    any_hit = jnp.zeros(B, bool)
+    for v in range(V):
         near, far, hitb = _ray_box(media.box_min[v], media.box_max[v], o, d, t_min, t_max)
         act = hitb & (media.active[v] > 0)
-        better = act & (near < best_near)
-        best_near = jnp.where(better, near, best_near)
-        best_far = jnp.where(better, far, best_far)
-        best_vid = jnp.where(better, v, best_vid)
+        u_near = jnp.where(act, jnp.minimum(u_near, near), u_near)
+        u_far = jnp.where(act, jnp.maximum(u_far, far), u_far)
+        is_grid = media.vtype[v] == GRID
+        bound_v = jnp.mean(media.sigma_a[v]) * jnp.where(is_grid, media.maj_a[v], 1.0) \
+            + jnp.mean(media.sigma_s[v]) * jnp.where(is_grid, media.maj_s[v], 1.0)
+        maj = maj + jnp.where(act, bound_v, 0.0)
+        any_hit = any_hit | act
 
-    vid = jnp.maximum(best_vid, 0)
-    in_vol = best_vid >= 0
+    in_vol = any_hit
     # sanitize inf sentinels before they enter differentiable math (inf * 0
     # becomes NaN in the backward pass even under where-masks)
-    best_near = jnp.where(in_vol, best_near, 0.0)
-    best_far = jnp.where(in_vol, best_far, 0.0)
+    u_near = jnp.where(in_vol, u_near, 0.0)
+    u_far = jnp.where(in_vol, u_far, 0.0)
+    maj = jax.lax.stop_gradient(jnp.maximum(maj, 1e-6))
 
-    # channel-average sigma_t with majorant density for grids
-    maj = jnp.where(
-        media.vtype[vid] == GRID,
-        jnp.max(media.density[vid], axis=(-1, -2, -3)),
-        1.0,
-    )
-    sig_t = jnp.mean(media.sigma_a[vid] + media.sigma_s[vid], axis=-1) * maj
-    sig_t = jnp.maximum(sig_t, 1e-6)
+    class _T(NamedTuple):
+        t: jnp.ndarray        # current tracking position
+        tracking: jnp.ndarray # still marching
+        real: jnp.ndarray     # terminated with a real collision
+        smp: Sampler
 
-    sampler, u = sampler.next_1d()
-    # detached-sampling estimator: the sample position and decision are
-    # detached, densities/transmittances stay attached -> unbiased gradients
-    # for sigma/albedo without boundary terms (domain integrals have fixed
-    # limits; see BASELINE transmittance-gradient gate)
-    t_cand = jax.lax.stop_gradient(
-        best_near - jnp.log(jnp.maximum(1.0 - u, 1e-12)) / sig_t
-    )
-    scatter = in_vol & (t_cand < jax.lax.stop_gradient(best_far))
-    t_s = jnp.where(scatter, t_cand, jnp.minimum(jax.lax.stop_gradient(t_max), 1e7))
+    init = _T(t=u_near, tracking=in_vol, real=jnp.zeros(B, bool), smp=sampler)
+
+    def track(c: _T, _):
+        s, u = c.smp.next_1d()
+        dt = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / maj
+        t_new = c.t + dt
+        esc_now = c.tracking & (t_new >= u_far)
+        p = o + d * jnp.where(c.tracking, t_new, c.t)[..., None]
+        _, st = sigma_at(media, p)
+        ratio = jax.lax.stop_gradient(
+            jnp.clip(jnp.mean(st, axis=-1) / maj, 0.0, 1.0))
+        s, u2 = s.next_1d()
+        real_now = c.tracking & ~esc_now & (u2 < ratio)
+        null_now = c.tracking & ~esc_now & ~real_now
+        return _T(
+            t=jnp.where(c.tracking & ~esc_now, t_new, c.t),
+            tracking=null_now,
+            real=c.real | real_now,
+            smp=s,
+        ), None
+
+    fin, _ = jax.lax.scan(track, init, None, length=track_steps)
+    sampler = fin.smp
+    # (lanes that exhaust the scan count as pass-through — the tail bias)
+
+    scatter = in_vol & fin.real
+    t_s = jnp.where(scatter, jax.lax.stop_gradient(fin.t),
+                    jnp.minimum(jax.lax.stop_gradient(t_max), 1e7))
     p_s = jax.lax.stop_gradient(o) + jax.lax.stop_gradient(d) * t_s[..., None]
 
-    # real collision probability for grids (single rejection step approximation)
-    dens = density_at(media, vid, p_s)
-    sampler, u2 = sampler.next_1d()
-    real = u2 < (dens / jnp.maximum(maj, 1e-9))
-    scatter = scatter & real
+    # Delta tracking draws the real collision from the EXACT marginal
+    # density mean_sigma_t(t) * exp(-tau_mean(t)) and passes with probability
+    # exp(-tau_mean(full span)) — where mean is over channels, the field the
+    # accept decisions used. So weight with attached per-channel
+    # transmittance over DETACHED marginal pdfs (tau_mean = channel-mean of
+    # -log Tr): value ~1, gradients flow through Tr and the sigmas.
+    t_end = jnp.where(scatter, t_s, jnp.minimum(t_max, 1e7))
+    tr = transmittance(media, o, d, t_min, t_end)
+    tr = jnp.where(in_vol[..., None], tr, 1.0)
+    log_tr_det = jax.lax.stop_gradient(jnp.log(jnp.maximum(tr, 1e-30)))
+    tr_det_mean = jnp.exp(jnp.mean(log_tr_det, axis=-1))
 
-    # weights — fully *attached* estimator: the sampled distance is a smooth
-    # reparameterized function of sigma (inverse-CDF), so keeping pdfs attached
-    # makes autodiff agree with finite differences of the fixed-noise
-    # estimator (the BASELINE transmittance-gradient gate)
-    seg_tau = tau_segment(media, vid, o, d, best_near, jnp.minimum(t_s, best_far))
-    tr = jnp.where(in_vol[..., None], jnp.exp(-seg_tau), 1.0)
-    pdf_scatter = jax.lax.stop_gradient(
-        sig_t * jnp.exp(-sig_t * (t_s - best_near)) * (dens / jnp.maximum(maj, 1e-9))
-    )
-    pdf_pass = jax.lax.stop_gradient(
-        jnp.exp(-sig_t * jnp.maximum(best_far - best_near, 0.0))
-    )
-    sigma_s_v = media.sigma_s[vid] * dens[..., None]
-    w_scatter = sigma_s_v * tr / jnp.maximum(pdf_scatter, 1e-12)[..., None]
-    w_pass = tr / jnp.maximum(pdf_pass, 1e-12)[..., None]
+    # scattering coefficient + emission, summed over overlapping volumes at p
+    ss_p, st_p = sigma_at(media, p_s)
+    emit_p = jnp.zeros(p_s.shape[:-1] + (3,), jnp.float32)
+    for v in range(V):
+        vv = jnp.full(B, v, jnp.int32)
+        emit_p = emit_p + sigma_a_at(media, vv, p_s) * le_at(media, vv, p_s)
+
+    st_mean_det = jax.lax.stop_gradient(jnp.maximum(jnp.mean(st_p, -1), 1e-9))
+    pdf = jnp.where(scatter, st_mean_det * tr_det_mean, tr_det_mean)
+    inv_pdf = 1.0 / jnp.maximum(pdf, 1e-12)
+    w_scatter = ss_p * tr * inv_pdf[..., None]
+    w_pass = tr * inv_pdf[..., None]
     weight = jnp.where(scatter[..., None], w_scatter, w_pass)
     weight = jnp.where(in_vol[..., None], weight, 1.0)
-    return sampler, t_s, scatter, weight, vid, p_s
+    emit = jnp.where(scatter[..., None], emit_p * tr * inv_pdf[..., None], 0.0)
+
+    # representative volume at the collision point (phase-function params):
+    # lowest-index active volume containing p (overlaps pick the first)
+    vid = jnp.zeros(B, jnp.int32)
+    for v in reversed(range(V)):
+        vv = jnp.full(B, v, jnp.int32)
+        vid = jnp.where(_inside(media, vv, p_s), v, vid)
+    return sampler, t_s, scatter, weight, vid, p_s, emit

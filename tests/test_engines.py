@@ -151,6 +151,119 @@ class TestVolumetric:
         assert fd < 0 and gnp[0, 0] < 0  # denser absorber -> darker
         assert abs(float(fd) - gnp[0, 0]) < 0.5 * abs(float(fd)), (float(fd), gnp[0, 0])
 
+    def test_grid_native_resolution_attenuation(self):
+        """A constant-valued grid at an arbitrary (non-cubic, non-32) native
+        resolution must attenuate exactly like the equivalent homogeneous
+        medium (SceneTypes/Volumes.h:116-184 DenseVolGrid semantics)."""
+        scene = furnace_scene(albedo=0.7)
+        dens = np.full((17, 9, 5), 0.8, np.float32)
+        med = M.Media.build([
+            {"type": M.GRID, "sigma_a": [0.625] * 3, "sigma_s": [0.0] * 3,
+             "box_min": [-2, -3, -2], "box_max": [2, -1.5, 2],
+             "density": dens}
+        ])
+        img = np.asarray(render_vol(scene, med, 32, 32, 8, 0, PTConfig(max_depth=4)))
+        assert np.isfinite(img).all()
+        edge = img[0:3, 0:3].mean()
+        expected = np.exp(-0.625 * 0.8 * 1.5)
+        assert abs(edge - expected) < 0.05, (edge, expected)
+
+    def test_per_channel_sigma_grids(self):
+        """Separate sigma_a / sigma_s grids, RGB sigma_a: red attenuates more
+        than blue through the slab."""
+        scene = furnace_scene(albedo=0.7)
+        ga = np.zeros((8, 8, 8, 3), np.float32)
+        ga[..., 0] = 1.0   # red: full absorption
+        ga[..., 2] = 0.2   # blue: light absorption
+        gs = np.zeros((8, 8, 8), np.float32)
+        med = M.Media.build([
+            {"type": M.GRID, "sigma_a": [0.8] * 3, "sigma_s": [0.3] * 3,
+             "box_min": [-2, -3, -2], "box_max": [2, -1.5, 2],
+             "sigma_a_grid": ga, "sigma_s_grid": gs}
+        ])
+        img = np.asarray(render_vol(scene, med, 32, 32, 8, 0, PTConfig(max_depth=4)))
+        edge = img[0:3, 0:3].reshape(-1, 3).mean(0)
+        exp_r = np.exp(-0.8 * 1.0 * 1.5)
+        exp_b = np.exp(-0.8 * 0.2 * 1.5)
+        assert abs(edge[0] - exp_r) < 0.05, (edge[0], exp_r)
+        assert abs(edge[2] - exp_b) < 0.05, (edge[2], exp_b)
+
+    def test_grid_transmittance_gradient_fd(self):
+        """BASELINE config 4 gate: FD-vs-AD gradient of the rendered image
+        w.r.t. the density GRID VOXELS of a heterogeneous medium."""
+        scene = furnace_scene(albedo=0.7)
+        rng = np.random.default_rng(3)
+        dens = (0.5 + 0.5 * rng.random((6, 6, 6))).astype(np.float32)
+        med = M.Media.build([
+            {"type": M.GRID, "sigma_a": [0.4] * 3, "sigma_s": [0.0] * 3,
+             "box_min": [-2, -3, -2], "box_max": [2, -1.5, 2],
+             "density": dens}
+        ])
+        cfg = PTConfig(max_depth=3, rr_start=99)
+
+        def loss(grid_data):
+            return jnp.mean(render_vol(scene, med._replace(grid_data=grid_data),
+                                       16, 16, 4, 0, cfg))
+
+        g = np.asarray(jax.grad(loss)(med.grid_data))
+        assert np.isfinite(g).all()
+        # voxels the rays traverse must darken the image when densified
+        assert g.min() < 0
+        # directional FD along the gradient (single-voxel FD sits at the f32
+        # noise floor of the renderer; the directional signal is |g| >> eps)
+        gnorm = float(np.linalg.norm(g))
+        e = jnp.asarray(g / gnorm)
+        h = 5e-2
+        fd = float(loss(med.grid_data + h * e) - loss(med.grid_data - h * e)) / (2 * h)
+        # directional derivative along ghat is |g|
+        assert fd > 0
+        assert abs(fd - gnorm) < 0.5 * abs(fd), (fd, gnorm)
+
+    def test_volume_emission(self):
+        """Emissive medium (Lve) glows: brighter than the same non-emissive
+        medium; emission scales ~linearly with Le."""
+        scene = furnace_scene(albedo=0.7, env_radiance=0.05)
+        base = {"type": M.HOMOGENEOUS, "sigma_a": [0.6] * 3,
+                "sigma_s": [0.05] * 3,
+                "box_min": [-2, -3, -2], "box_max": [2, -1.5, 2]}
+        cfg = PTConfig(max_depth=4)
+        img0 = np.asarray(render_vol(scene, M.Media.build([dict(base)]),
+                                     24, 24, 32, 0, cfg)).mean()
+        m1 = M.Media.build([dict(base, le=[1.0] * 3)])
+        img1 = np.asarray(render_vol(scene, m1, 24, 24, 32, 0, cfg)).mean()
+        m2 = M.Media.build([dict(base, le=[2.0] * 3)])
+        img2 = np.asarray(render_vol(scene, m2, 24, 24, 32, 0, cfg)).mean()
+        assert img1 > img0 + 0.01
+        rel = abs((img2 - img0) - 2 * (img1 - img0)) / (img2 - img0)
+        assert rel < 0.05, (img0, img1, img2)
+
+    def test_sixteen_volume_aggregate(self):
+        """MAX_VOLUMES >= 16 (KernelAggregateVolume parity): 10 thin absorber
+        slabs attenuate like one slab of the same total absorber thickness
+        (union distance sampling must handle gaps between boxes)."""
+        assert M.MAX_VOLUMES >= 16
+        scene = furnace_scene(albedo=0.7)
+        slabs = []
+        for i in range(10):
+            y0 = -2.9 + i * 0.14
+            slabs.append({"type": M.HOMOGENEOUS, "sigma_a": [0.5] * 3,
+                          "sigma_s": [0.0] * 3,
+                          "box_min": [-2, y0, -2], "box_max": [2, y0 + 0.1, 2]})
+        stack = M.Media.build(slabs)
+        single = M.Media.build([
+            {"type": M.HOMOGENEOUS, "sigma_a": [0.5] * 3, "sigma_s": [0.0] * 3,
+             "box_min": [-2, -2.9, -2], "box_max": [2, -1.9, 2]}
+        ])
+        cfg = PTConfig(max_depth=4)
+        # average the whole top band (background, away from the sphere) so
+        # MC noise is ~0.01, well inside the tolerance
+        edge_stack = np.asarray(
+            render_vol(scene, stack, 24, 24, 32, 0, cfg))[0:4, :].mean()
+        edge_single = np.asarray(
+            render_vol(scene, single, 24, 24, 32, 1, cfg))[0:4, :].mean()
+        assert abs(edge_stack - edge_single) < 0.035, (edge_stack, edge_single)
+        assert abs(edge_stack - np.exp(-0.5)) < 0.08, edge_stack
+
 
 class TestPhase:
     def test_hg_normalization(self):
