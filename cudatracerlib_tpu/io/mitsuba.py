@@ -176,6 +176,7 @@ class _SceneBuilder:
         self.env_map: Optional[np.ndarray] = None
         self.media_records: list = []
         self.shape_groups: dict = {}
+        self.images: list = []
 
     def add_texture(self, rec) -> int:
         self.tex_records.append(rec)
@@ -185,27 +186,181 @@ class _SceneBuilder:
         self.mat_records.append(rec)
         return len(self.mat_records) - 1
 
+    def add_image(self, img: np.ndarray) -> int:
+        self.images.append(img)
+        return len(self.images) - 1
+
+
+def _warn(msg: str) -> None:
+    import warnings
+
+    warnings.warn(f"mitsuba loader: {msg}", stacklevel=3)
+
+
+def _parse_texture(node, sb: _SceneBuilder, defaults) -> int:
+    """TextureParser equivalent (ObjectParser.h:74): returns a texture id."""
+    ttype = node.get("type", "checkerboard")
+    props = _get_props(node, defaults)
+    uvx = [float(np.mean(props.get("uscale", 1.0))),
+           float(np.mean(props.get("vscale", 1.0))),
+           float(np.mean(props.get("uoffset", 0.0))),
+           float(np.mean(props.get("voffset", 0.0)))]
+    if ttype == "bitmap":
+        fn = props.get("filename")
+        if fn:
+            fp = os.path.join(sb.base_dir, str(fn))
+            if os.path.exists(fp):
+                try:
+                    from PIL import Image as PILImage
+
+                    img = np.asarray(PILImage.open(fp).convert("RGB"),
+                                     np.float32) / 255.0
+                    if not bool(props.get("raw", False)):
+                        img = img ** 2.2  # sRGB -> linear
+                    wrap = {"repeat": T.WRAP_REPEAT, "clamp": T.WRAP_CLAMP,
+                            "mirror": T.WRAP_MIRROR,
+                            "zero": T.WRAP_BLACK}.get(
+                                str(props.get("wrapMode", "repeat")),
+                                T.WRAP_REPEAT)
+                    return sb.add_texture({
+                        "type": T.IMAGE, "image_id": sb.add_image(img),
+                        "uv_xform": uvx, "wrap_mode": wrap,
+                    })
+                except Exception as e:  # corrupt image: keep rendering
+                    _warn(f"bitmap {fn!r} failed to load ({e}); using grey")
+            else:
+                _warn(f"bitmap {fn!r} not found; using grey")
+        return sb.add_texture({"type": T.CONSTANT, "color_a": [0.5] * 3})
+    if ttype == "checkerboard":
+        return sb.add_texture({
+            "type": T.CHECKERBOARD,
+            "color_a": np.asarray(props.get("color0", [0.4] * 3), np.float32) * np.ones(3),
+            "color_b": np.asarray(props.get("color1", [0.2] * 3), np.float32) * np.ones(3),
+            "uv_xform": uvx,
+        })
+    _warn(f"texture type {ttype!r} unsupported; using its average color")
+    return sb.add_texture({"type": T.CONSTANT, "color_a": [0.5] * 3})
+
+
+def _prop_or_texture(node, props, names, default, sb, defaults):
+    """A Mitsuba property that may be a value OR a nested <texture name=...>.
+    Returns a texture id."""
+    for c in node.findall("texture"):
+        if c.get("name") in names:
+            return _parse_texture(c, sb, defaults)
+    for nm in names:
+        if nm in props:
+            return sb.add_texture({
+                "type": T.CONSTANT,
+                "color_a": np.asarray(props[nm], np.float32) * np.ones(3),
+            })
+    return sb.add_texture({"type": T.CONSTANT, "color_a": default})
+
 
 def _parse_bsdf(node, sb: _SceneBuilder, defaults) -> dict:
-    """BsdfParser equivalent: returns a material record (not yet added)."""
+    """BsdfParser equivalent (ObjectParser.h:600-890): returns a material
+    record (not yet added). Nested plugins map to the runtime's native
+    support: coating/roughcoating -> COATING/ROUGHCOATING over a nested
+    material, bumpmap -> tex_height on the inner material, mask -> alpha
+    test, blendbsdf -> BLEND."""
     btype = node.get("type", "diffuse")
-    if btype in ("twosided", "bumpmap", "mask", "coating", "roughcoating"):
-        # unwrap to inner bsdf (coating flattened, reference nests BSDFFirst)
+    props = _get_props(node, defaults)
+
+    def inner_bsdf():
         for c in node.findall("bsdf"):
             return _parse_bsdf(c, sb, defaults)
+        _warn(f"{btype!r} has no nested bsdf; substituting diffuse")
         return {"bsdf_type": B.DIFFUSE, "tex_albedo": 0}
-    props = _get_props(node, defaults)
-    tag = _BSDF_MAP.get(btype, B.DIFFUSE) or B.DIFFUSE
+
+    if btype == "twosided":
+        # runtime BSDFs already shade both sides (reference wraps BSDFFirst)
+        return inner_bsdf()
+    if btype in ("coating", "roughcoating"):
+        inner = inner_bsdf()
+        rec = {
+            "bsdf_type": B.COATING if btype == "coating" else B.ROUGHCOATING,
+            "nested_id": sb.add_material(inner),
+            "tex_albedo": sb.add_texture({"type": T.CONSTANT, "color_a": [1] * 3}),
+        }
+        int_ior = props.get("intIOR", props.get("int_ior", 1.5046))
+        ext_ior = props.get("extIOR", props.get("ext_ior", 1.000277))
+        if isinstance(int_ior, str):
+            int_ior = _IOR_NAMES.get(int_ior.lower(), 1.5046)
+        if isinstance(ext_ior, str):
+            ext_ior = _IOR_NAMES.get(ext_ior.lower(), 1.000277)
+        rec["eta"] = float(int_ior) / float(ext_ior)
+        if btype == "roughcoating":
+            a = float(np.mean(props.get("alpha", 0.1)))
+            rec["alpha_u"] = rec["alpha_v"] = a
+            rec["dist_type"] = _DIST_MAP.get(
+                str(props.get("distribution", "beckmann")), 0)
+        return rec
+    if btype == "bumpmap":
+        inner = inner_bsdf()
+        tid = None
+        for c in node.findall("texture"):
+            tid = _parse_texture(c, sb, defaults)
+        if tid is None:
+            _warn("bumpmap without a texture child; ignoring")
+        else:
+            inner["tex_height"] = tid
+            inner["height_scale"] = float(np.mean(props.get("scale", 1.0)))
+        return inner
+    if btype == "mask":
+        inner = inner_bsdf()
+        tid = None
+        for c in node.findall("texture"):
+            if c.get("name") in (None, "opacity"):
+                tid = _parse_texture(c, sb, defaults)
+        if tid is None and "opacity" in props:
+            tid = sb.add_texture({
+                "type": T.CONSTANT,
+                "color_a": np.asarray(props["opacity"], np.float32) * np.ones(3),
+            })
+        if tid is None:
+            _warn("mask without an opacity texture; ignoring")
+        else:
+            inner["alpha_mode"] = 1  # luminance test (Engine/Material.h:13-23)
+            inner["tex_alpha"] = tid
+            inner["alpha_ref"] = 0.5
+        return inner
+    if btype in ("blendbsdf", "blend"):
+        children = node.findall("bsdf")
+        if len(children) >= 2:
+            # runtime BLEND mixes the record's OWN fields (interpreted as a
+            # diffuse lobe, scene/bsdf.py f0_self) with nested_id: child A
+            # becomes this record's lobe, child B the nested material
+            a = _parse_bsdf(children[0], sb, defaults)
+            if int(a.get("bsdf_type", B.DIFFUSE)) != B.DIFFUSE:
+                _warn("blendbsdf first child is not diffuse; its albedo is "
+                      "used as a diffuse lobe")
+            b_rec = _parse_bsdf(children[1], sb, defaults)
+            rec = {k: v for k, v in a.items() if k != "bsdf_type"}
+            rec.update({
+                "bsdf_type": B.BLEND,
+                "nested_id": sb.add_material(b_rec),
+                "blend_weight": float(np.mean(props.get("weight", 0.5))),
+            })
+            return rec
+        _warn("blendbsdf needs two children; using the first")
+        return inner_bsdf()
+
+    tag = _BSDF_MAP.get(btype, None)
+    if tag is None:
+        _warn(f"bsdf type {btype!r} unsupported; substituting diffuse")
+        tag = B.DIFFUSE
 
     rec: dict = {"bsdf_type": tag}
-    refl = props.get("reflectance", props.get("diffuseReflectance", props.get("diffuse_reflectance")))
-    if refl is None:
-        refl = np.asarray([0.5, 0.5, 0.5], np.float32)
-    rec["tex_albedo"] = sb.add_texture({"type": T.CONSTANT, "color_a": refl})
-    spec = props.get("specularReflectance", props.get("specular_reflectance", np.ones(3, np.float32)))
-    rec["tex_specular"] = sb.add_texture({"type": T.CONSTANT, "color_a": spec})
-    trans = props.get("specularTransmittance", props.get("specular_transmittance", np.ones(3, np.float32)))
-    rec["tex_transmittance"] = sb.add_texture({"type": T.CONSTANT, "color_a": trans})
+    rec["tex_albedo"] = _prop_or_texture(
+        node, props,
+        ("reflectance", "diffuseReflectance", "diffuse_reflectance"),
+        [0.5, 0.5, 0.5], sb, defaults)
+    rec["tex_specular"] = _prop_or_texture(
+        node, props, ("specularReflectance", "specular_reflectance"),
+        [1.0, 1.0, 1.0], sb, defaults)
+    rec["tex_transmittance"] = _prop_or_texture(
+        node, props, ("specularTransmittance", "specular_transmittance"),
+        [1.0, 1.0, 1.0], sb, defaults)
 
     alpha = props.get("alpha", 0.1)
     rec["alpha_u"] = props.get("alphaU", props.get("alpha_u", alpha))
@@ -626,7 +781,8 @@ def load_mitsuba_full(path: str, aspect_hint: float = 1.0):
     uvs = np.concatenate(sb.uvs)
     scene = build_scene(
         vertices, normals, uvs, np.asarray(sb.mat_of_tri, np.int32),
-        Materials.build(sb.mat_records), Textures.build(sb.tex_records),
+        Materials.build(sb.mat_records),
+        Textures.build(sb.tex_records, images=sb.images or None),
         sb.light_records, sb.camera, env_map=sb.env_map,
     )
     media = None

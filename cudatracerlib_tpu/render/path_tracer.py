@@ -52,6 +52,11 @@ class PTConfig(NamedTuple):
     height_maps: bool = False
     parallax: bool = False
     alpha_test: bool = False
+    # rematerialize each bounce in the backward pass (jax.checkpoint over the
+    # scan body): memory per differentiable render drops from O(depth * live
+    # intermediates) to O(1 bounce), making 512^2+ gradient renders fit HBM
+    # (SURVEY.md §5 "long context" = rays/chip + remat)
+    remat: bool = False
 
 
 def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
@@ -426,7 +431,8 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig,
         )
         return new_carry, None
 
-    final, _ = jax.lax.scan(bounce, init, jnp.arange(config.max_depth))
+    body = jax.checkpoint(bounce, prevent_cse=False) if config.remat else bounce
+    final, _ = jax.lax.scan(body, init, jnp.arange(config.max_depth))
     if with_stats:
         return final.L, final.sampler, final.n_rays
     return final.L, final.sampler

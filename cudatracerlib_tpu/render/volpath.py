@@ -180,7 +180,8 @@ def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
             + jnp.sum(carry.active.astype(jnp.float32)) + n_shadow,
         ), None
 
-    final, _ = jax.lax.scan(bounce, init, jnp.arange(config.max_depth))
+    body = jax.checkpoint(bounce, prevent_cse=False) if config.remat else bounce
+    final, _ = jax.lax.scan(body, init, jnp.arange(config.max_depth))
     if with_stats:
         return final.L, final.sampler, final.n_rays
     return final.L, final.sampler

@@ -172,6 +172,98 @@ class TestMitsuba:
         assert B.DIFFUSE in types
         assert B.ROUGHCONDUCTOR in types
 
+    def test_nested_bsdfs_and_maps(self, tmp_path):
+        """Coating keeps real COATING nesting, bumpmap wires tex_height,
+        mask wires the alpha test, blendbsdf builds BLEND — no silent
+        unwrap-and-drop (reference ObjectParser.h:600-890)."""
+        import PIL.Image
+
+        from cudatracerlib_tpu.io.mitsuba import load_mitsuba
+        from cudatracerlib_tpu.render.path_tracer import PTConfig, render
+        from cudatracerlib_tpu.scene import bsdf as B
+        from cudatracerlib_tpu.scene import textures as T
+
+        bump = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype(np.uint8)
+        PIL.Image.fromarray(bump).save(tmp_path / "bump.png")
+        xml = tmp_path / "nested.xml"
+        xml.write_text("""<scene version="0.5.0">
+  <sensor type="perspective">
+    <float name="fov" value="40"/>
+    <transform name="toWorld">
+      <lookat origin="0,-4,1" target="0,0,1" up="0,0,1"/>
+    </transform>
+  </sensor>
+  <emitter type="constant"><spectrum name="radiance" value="1"/></emitter>
+  <shape type="sphere">
+    <point name="center" x="-1.2" y="0" z="1"/><float name="radius" value="0.5"/>
+    <bsdf type="coating">
+      <float name="intIOR" value="1.5"/>
+      <bsdf type="diffuse"><spectrum name="reflectance" value="0.2,0.5,0.8"/></bsdf>
+    </bsdf>
+  </shape>
+  <shape type="sphere">
+    <point name="center" x="0" y="0" z="1"/><float name="radius" value="0.5"/>
+    <bsdf type="bumpmap">
+      <float name="scale" value="2.0"/>
+      <texture type="bitmap"><string name="filename" value="bump.png"/></texture>
+      <bsdf type="diffuse"><spectrum name="reflectance" value="0.6"/></bsdf>
+    </bsdf>
+  </shape>
+  <shape type="sphere">
+    <point name="center" x="1.2" y="0" z="1"/><float name="radius" value="0.5"/>
+    <bsdf type="mask">
+      <spectrum name="opacity" value="0.3"/>
+      <bsdf type="blendbsdf">
+        <float name="weight" value="0.4"/>
+        <bsdf type="diffuse"><spectrum name="reflectance" value="0.7"/></bsdf>
+        <bsdf type="roughconductor"><float name="alpha" value="0.2"/></bsdf>
+      </bsdf>
+    </bsdf>
+  </shape>
+</scene>""")
+        scene = load_mitsuba(str(xml))
+        mats = scene.materials
+        btypes = np.asarray(mats.bsdf_type)
+        assert B.COATING in btypes
+        assert B.BLEND in btypes
+        # coating nests the blue-ish diffuse
+        ci = int(np.nonzero(btypes == B.COATING)[0][0])
+        ni = int(np.asarray(mats.nested_id)[ci])
+        assert np.asarray(mats.bsdf_type)[ni] == B.DIFFUSE
+        # bumpmap became a height map on a diffuse material
+        hi = np.nonzero(np.asarray(mats.tex_height) >= 0)[0]
+        assert len(hi) > 0
+        assert np.asarray(mats.height_scale)[hi[0]] == 2.0
+        ttypes = np.asarray(scene.textures.ttype)
+        assert ttypes[int(np.asarray(mats.tex_height)[hi[0]])] == T.IMAGE
+        # mask became an alpha test on the BLEND material
+        bi = int(np.nonzero(btypes == B.BLEND)[0][0])
+        assert np.asarray(mats.alpha_mode)[bi] == 1
+        assert np.asarray(mats.tex_alpha)[bi] >= 0
+        # blend's second child is the rough conductor
+        assert np.asarray(mats.bsdf_type)[int(np.asarray(mats.nested_id)[bi])] \
+            == B.ROUGHCONDUCTOR
+        img = np.asarray(render(scene, 32, 32, 4, 0, PTConfig(max_depth=4)))
+        assert np.isfinite(img).all() and img.mean() > 0.01
+
+    def test_unsupported_plugin_warns(self, tmp_path):
+        import warnings
+
+        from cudatracerlib_tpu.io.mitsuba import load_mitsuba
+
+        xml = tmp_path / "warn.xml"
+        xml.write_text("""<scene version="0.5.0">
+  <emitter type="constant"><spectrum name="radiance" value="1"/></emitter>
+  <shape type="sphere">
+    <float name="radius" value="1"/>
+    <bsdf type="hanrahankrueger_nonexistent"/>
+  </shape>
+</scene>""")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            load_mitsuba(str(xml))
+        assert any("unsupported" in str(x.message) for x in w)
+
 
 class TestSettings:
     def test_constraints(self):

@@ -145,6 +145,98 @@ class TestGradients:
         g = jax.grad(loss)(scene.materials.alpha_u)
         assert np.isfinite(np.asarray(g)).all()
 
+    def test_camera_origin_gradient(self):
+        """BASELINE camera-gradient gate (SceneTypes/Sensor.h:217 counterpart):
+        FD-vs-AD of a camera dolly on a silhouette-free scene (one wall
+        filling the frame + a point light): the gradient is the smooth
+        shading/reprojection term, which detached-visibility AD must match.
+
+        Caveat (documented): silhouette/edge terms of camera derivatives are
+        NOT captured by detached-sampling AD; on scenes with visible edges
+        FD and AD differ by the boundary integral."""
+        from cudatracerlib_tpu.scene import lights as L
+        from cudatracerlib_tpu.scene.scene import Materials, build_scene
+        from cudatracerlib_tpu.scene.sensors import Camera
+        from cudatracerlib_tpu.scene.shapes import quad
+        from cudatracerlib_tpu.scene.textures import Textures
+
+        wall = quad([-50, 5, -50], [50, 5, -50], [50, 5, 50], [-50, 5, 50])
+        textures = Textures.build([{"type": 0, "color_a": [0.7, 0.6, 0.5]}])
+        materials = Materials.build([{"bsdf_type": B.DIFFUSE, "tex_albedo": 0}])
+        cam = Camera.look_at([0, 0, 0], [0, 5, 0], up=[0, 0, 1], fov_deg=40.0)
+        scene = build_scene(
+            wall, None, None, np.zeros(len(wall), np.int32), materials,
+            textures,
+            [{"type": L.POINT, "position": [0, 1.0, 0.5],
+              "radiance": [30.0] * 3}],
+            cam,
+        )
+        cfg = PTConfig(max_depth=2, rr_start=99)
+
+        def loss(dy):
+            # dolly the camera toward the wall: to_world translation column
+            m = scene.camera.to_world.at[1, 3].add(dy)
+            s = scene._replace(camera=scene.camera._replace(to_world=m))
+            return jnp.mean(render(s, 24, 24, 8, 0, cfg))
+
+        g = float(jax.grad(loss)(jnp.float32(0.0)))
+        assert np.isfinite(g)
+        h = 1e-2
+        fd = float(loss(jnp.float32(h)) - loss(jnp.float32(-h))) / (2 * h)
+        # moving toward the light+wall brightens the frame
+        assert abs(fd - g) < 0.1 * max(abs(fd), 1e-4) + 1e-4, (fd, g)
+
+    def test_camera_fov_gradient(self):
+        """FOV gradient through sample_ray's tan_half_fov (zoom changes the
+        solid angle each pixel integrates -> smooth image change on the
+        silhouette-free wall scene)."""
+        from cudatracerlib_tpu.scene import lights as L
+        from cudatracerlib_tpu.scene.scene import Materials, build_scene
+        from cudatracerlib_tpu.scene.sensors import Camera
+        from cudatracerlib_tpu.scene.shapes import quad
+        from cudatracerlib_tpu.scene.textures import Textures
+
+        wall = quad([-50, 5, -50], [50, 5, -50], [50, 5, 50], [-50, 5, 50])
+        textures = Textures.build([{"type": 0, "color_a": [0.7, 0.6, 0.5]}])
+        materials = Materials.build([{"bsdf_type": B.DIFFUSE, "tex_albedo": 0}])
+        cam = Camera.look_at([0, 0, 0], [0, 5, 0], up=[0, 0, 1], fov_deg=40.0)
+        scene = build_scene(
+            wall, None, None, np.zeros(len(wall), np.int32), materials,
+            textures,
+            [{"type": L.POINT, "position": [0, 1.0, 0.5],
+              "radiance": [30.0] * 3}],
+            cam,
+        )
+        cfg = PTConfig(max_depth=2, rr_start=99)
+
+        def loss(s_fov):
+            s = scene._replace(camera=scene.camera._replace(
+                tan_half_fov=scene.camera.tan_half_fov * s_fov))
+            return jnp.mean(render(s, 24, 24, 8, 0, cfg))
+
+        g = float(jax.grad(loss)(jnp.float32(1.0)))
+        assert np.isfinite(g)
+        h = 1e-2
+        fd = float(loss(jnp.float32(1 + h)) - loss(jnp.float32(1 - h))) / (2 * h)
+        assert abs(fd - g) < 0.1 * max(abs(fd), 1e-4) + 1e-4, (fd, g)
+
+    def test_remat_gradients_match(self, cornell):
+        """config.remat must not change values or gradients — only memory."""
+        cfg = PTConfig(max_depth=4, rr_start=99)
+        cfg_r = cfg._replace(remat=True)
+
+        def loss(x, c):
+            s = cornell._replace(
+                textures=cornell.textures._replace(color_a=x))
+            return jnp.mean(render(s, 24, 24, 4, 0, c))
+
+        x0 = cornell.textures.color_a
+        v0, g0 = jax.value_and_grad(loss)(x0, cfg)
+        v1, g1 = jax.value_and_grad(loss)(x0, cfg_r)
+        assert abs(float(v0) - float(v1)) < 1e-6
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                   rtol=1e-4, atol=1e-7)
+
 
 class TestProgressive:
     def test_fused_passes_match_average(self, cornell):
