@@ -113,7 +113,8 @@ def build_bvh(vertices: np.ndarray, use_native: bool = True,
             )
             if with_host:
                 return bvh, {"nodes": node_arr, "woop": woop, "root": root,
-                             "order": np.clip(order, 0, T - 1).astype(np.int32)}
+                             "order": np.clip(order, 0, T - 1).astype(np.int32),
+                             "tris": tris[np.clip(order, 0, T - 1)]}
             return bvh
 
     centroid = 0.5 * (lo + hi)
@@ -252,5 +253,6 @@ def build_bvh(vertices: np.ndarray, use_native: bool = True,
     )
     if with_host:
         return bvh, {"nodes": node_arr, "woop": woop, "root": root,
-                     "order": order.astype(np.int32)}
+                     "order": order.astype(np.int32),
+                     "tris": tris[order]}
     return bvh

@@ -21,6 +21,8 @@ from .bvh import BVH, LEAF_SIZE
 
 CLUSTER_TRIS = 128   # padded triangles per cluster (lane-tile aligned)
 SUPER_WAY = 64       # clusters per super
+PACKET_TRIS = 16     # triangles per packet (packet-AABB-gated sweep)
+N_PACKETS = CLUSTER_TRIS // PACKET_TRIS
 
 
 class ClusterScene(NamedTuple):
@@ -137,6 +139,11 @@ def build_clusters(bvh: BVH, host: dict | None = None) -> ClusterScene:
     cl_boxes[:, 3:6] = -1e30
     cl_woop = np.zeros((nc_pad, CLUSTER_TRIS, 12), np.float32)
     cl_prim = np.zeros((nc_pad, CLUSTER_TRIS), np.int32)
+    # per-packet AABBs (world space), inverted for empty/padded packets so
+    # the kernel's any-lane packet gate skips them outright
+    pk_lo = np.full((nc_pad, N_PACKETS, 3), 1e30, np.float32)
+    pk_hi = np.full((nc_pad, N_PACKETS, 3), -1e30, np.float32)
+    tris_leaf = host.get("tris") if host is not None else None
     for slot, ci in enumerate(order):
         b, e, lo, hi = clusters[ci]
         cl_boxes[slot, 0:3] = lo
@@ -147,12 +154,30 @@ def build_clusters(bvh: BVH, host: dict | None = None) -> ClusterScene:
         if cnt < CLUSTER_TRIS:  # pad by repeating the first triangle
             cl_woop[slot, cnt:] = woop[b]
             cl_prim[slot, cnt:] = b
+        if tris_leaf is not None:
+            for p in range((cnt + PACKET_TRIS - 1) // PACKET_TRIS):
+                seg = tris_leaf[b + p * PACKET_TRIS:
+                                b + min((p + 1) * PACKET_TRIS, cnt)]
+                pk_lo[slot, p] = seg.reshape(-1, 3).min(0)
+                pk_hi[slot, p] = seg.reshape(-1, 3).max(0)
+        else:  # no vertex data: gate degrades to the cluster box (always on)
+            pk_lo[slot, :] = lo
+            pk_hi[slot, :] = hi
     # transpose to component-major and pad 12 -> 16 rows: HBM slices must be
-    # sublane-tile (8) aligned for the kernel's per-cluster DMA
+    # sublane-tile (8) aligned for the kernel's per-cluster DMA. Row 12
+    # carries the packet AABBs: [lo_x(P), lo_y(P), lo_z(P), hi_x(P), hi_y(P),
+    # hi_z(P)] at N_PACKETS stride (ops/cluster_trace.py packet gate).
     cl_woop = np.ascontiguousarray(cl_woop.transpose(0, 2, 1))
     cl_woop = np.concatenate(
         [cl_woop, np.zeros((nc_pad, 4, CLUSTER_TRIS), np.float32)], axis=1
     )
+    assert 6 * N_PACKETS <= CLUSTER_TRIS
+    cl_woop[:, 12, 0 * N_PACKETS:1 * N_PACKETS] = pk_lo[:, :, 0]
+    cl_woop[:, 12, 1 * N_PACKETS:2 * N_PACKETS] = pk_lo[:, :, 1]
+    cl_woop[:, 12, 2 * N_PACKETS:3 * N_PACKETS] = pk_lo[:, :, 2]
+    cl_woop[:, 12, 3 * N_PACKETS:4 * N_PACKETS] = pk_hi[:, :, 0]
+    cl_woop[:, 12, 4 * N_PACKETS:5 * N_PACKETS] = pk_hi[:, :, 1]
+    cl_woop[:, 12, 5 * N_PACKETS:6 * N_PACKETS] = pk_hi[:, :, 2]
 
     sup_boxes = np.zeros((n_sup, 6), np.float32)
     for s in range(n_sup):

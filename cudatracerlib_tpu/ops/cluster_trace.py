@@ -29,7 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.bvh import BVH
-from ..accel.clusters import CLUSTER_TRIS, SUPER_WAY, ClusterScene
+from ..accel.clusters import (CLUSTER_TRIS, N_PACKETS, PACKET_TRIS, SUPER_WAY,
+                              ClusterScene)
 from ..accel.traversal import Hit
 
 LANES = 128
@@ -163,14 +164,30 @@ def _cluster_kernel(sup_ref, cl_ref, cl_cm_ref, rays_ref, woop_hbm, t_ref,
             v_ref[...] = jnp.where(ok, vv, v_ref[...])
             return 0
 
-        # 2x unroll: lets Mosaic overlap the next pair's SMEM component
-        # loads (scalar unit) with the current pair's VPU math
-        def tri_pair(i, _):
-            tri_body(2 * i, 0)
-            tri_body(2 * i + 1, 0)
-            return 0
+        # packet gate: each PACKET_TRIS-tri packet carries its own AABB in
+        # woop row 12 (accel/clusters.py); an any-lane slab test skips whole
+        # packets — the hierarchical in-VMEM stage that removes the dense
+        # 128-tri sweep's wasted work (empty/padded packets never run)
+        for p in range(N_PACKETS):  # static unroll
+            plo = (scratch[slot, 12, 0 * N_PACKETS + p],
+                   scratch[slot, 12, 1 * N_PACKETS + p],
+                   scratch[slot, 12, 2 * N_PACKETS + p])
+            phi = (scratch[slot, 12, 3 * N_PACKETS + p],
+                   scratch[slot, 12, 4 * N_PACKETS + p],
+                   scratch[slot, 12, 5 * N_PACKETS + p])
+            hit_p = _slab(plo, phi, ox, oy, oz, idx, idy, idz, tmin,
+                          t_ref[...])
 
-        jax.lax.fori_loop(0, CLUSTER_TRIS // 2, tri_pair, 0)
+            @pl.when(jnp.any(hit_p))
+            def _(p=p):
+                # 2x unroll: lets Mosaic overlap the next pair's SMEM
+                # component loads (scalar unit) with the current pair's math
+                def tri_pair(i, _):
+                    tri_body(p * PACKET_TRIS + 2 * i, 0)
+                    tri_body(p * PACKET_TRIS + 2 * i + 1, 0)
+                    return 0
+
+                jax.lax.fori_loop(0, PACKET_TRIS // 2, tri_pair, 0)
 
     def _dma(slot, c):
         return pltpu.make_async_copy(woop_hbm.at[c], scratch.at[slot],
