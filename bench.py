@@ -16,15 +16,27 @@ Methodology
 * Each timed region runs the whole pass loop in as few dispatches as
   possible (fused lax.scan over passes where the engine supports it), the
   reference's main.cpp loop as one XLA program.
+* CRASH ISOLATION (round 3): by default every config runs in its OWN
+  subprocess with a timeout, so a TPU worker fault or tunnel stall in one
+  config cannot poison the rest (the round-2 failure mode: one faulting
+  config crashed the shared process and no number was recorded). The
+  headline config retries up to HEADLINE_RETRIES times. Run a single config
+  in-process with `python bench.py <name>`.
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+import jax  # noqa: F401  (module-level so programmatic use of bench_* works)
+
 REPS = 3
 BASELINE_MRAYS = 100.0  # nominal CUDA 9-era single-GPU figure (BASELINE.md)
+CONFIG_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
+HEADLINE_RETRIES = 3
 
 
 def _sync(x):
@@ -53,6 +65,20 @@ def _report(metric, mrays, extra=None):
         line.update(extra)
     print(json.dumps(line), flush=True)
     return line
+
+
+def bench_smoke():
+    """30-second TPU liveness check: tiny Cornell render, no JSON line of
+    record (prints one anyway so the driver sees output)."""
+    from cudatracerlib_tpu.render.path_tracer import PTConfig, render
+    from cudatracerlib_tpu.scene.shapes import cornell_box
+
+    scene = cornell_box()
+    img = render(scene, 64, 64, 2, 0, PTConfig(max_depth=3))
+    _sync(img)
+    lum = float(np.asarray(img).mean())
+    print(f"# smoke ok: mean luminance {lum:.4f}", file=sys.stderr)
+    return _report("smoke (Cornell 64^2@2spp ran)", 1.0, {"mean": round(lum, 4)})
 
 
 def bench_cornell():
@@ -130,8 +156,6 @@ def bench_bigscene():
 
 def bench_volume():
     """Config 4: heterogeneous grid volume + HG phase, volumetric PT."""
-    import jax.numpy as jnp
-
     from cudatracerlib_tpu.render.path_tracer import PTConfig, specialize_config
     from cudatracerlib_tpu.render.volpath import (render_vol_counted,
                                                   render_vol_progressive)
@@ -171,12 +195,17 @@ def bench_volume():
 
 
 def bench_caustic():
-    """Config 5: BDPT + sharded progressive photon mapping, caustic scene."""
+    """Config 5: BDPT + sharded progressive photon mapping, caustic scene.
+
+    Round 3: the two engines are reported as SEPARATE metrics with their own
+    measured ray counts (the round-2 combined number mixed an under-counted
+    eye pass into one mushy Mrays/s)."""
     import jax.numpy as jnp
 
     from cudatracerlib_tpu.parallel.shard import make_mesh, make_sharded_ppm
     from cudatracerlib_tpu.render.bdpt import BDPTConfig, render_bdpt_counted
-    from cudatracerlib_tpu.render.ppm import PPMConfig, progressive_radius
+    from cudatracerlib_tpu.render.ppm import (PPMConfig, progressive_radius,
+                                              trace_photons)
     from cudatracerlib_tpu.scene.shapes import caustic_scene
 
     W = H = 128
@@ -184,7 +213,7 @@ def bench_caustic():
     scene = caustic_scene()
     bcfg = BDPTConfig()
 
-    # BDPT passes (counted)
+    # --- BDPT passes (counted) ---
     img, rays_bdpt = render_bdpt_counted(scene, W, H, spp, 0, bcfg)
     _sync(img)
 
@@ -193,9 +222,11 @@ def bench_caustic():
         _sync(img)
 
     dt_bdpt = _timeit(run_bdpt, label="caustic-bdpt")
+    _report("Mrays/sec/chip (BDPT, caustic scene)",
+            float(rays_bdpt) / dt_bdpt / 1e6)
 
-    # sharded PPM pass (light pass sharded over the device mesh; on a single
-    # chip this exercises the same shard_map + all_gather program)
+    # --- sharded PPM pass (light pass sharded over the device mesh; on a
+    # single chip this exercises the same shard_map + all_gather program) ---
     pcfg = PPMConfig()
     mesh = make_mesh()
     ppm_fn = make_sharded_ppm(mesh, W, H, spp, pcfg)
@@ -207,42 +238,82 @@ def bench_caustic():
 
     dt_ppm = _timeit(run_ppm, label="caustic-ppm")
 
-    # photon-walk ray count, measured (eye-pass gather rays under-counted as
-    # its W*H*spp primaries -> the reported number is a lower bound)
-    from cudatracerlib_tpu.render.ppm import trace_photons
+    # photon-walk ray count, measured; the eye pass contributes its W*H*spp
+    # camera rays (gather queries are grid lookups, not rays — not counted)
     _, rays_ph = trace_photons(scene, pcfg.n_photons, jnp.uint32(3),
                                bcfg.base._replace(max_depth=pcfg.base.max_depth),
                                with_stats=True)
-    rays = float(rays_bdpt) + float(rays_ph) + W * H * spp
-    return _report(
-        "Mrays/sec/chip (BDPT + sharded PPM, caustics)",
-        rays / (dt_bdpt + dt_ppm) / 1e6,
-    )
+    rays_ppm = float(rays_ph) + W * H * spp
+    return _report("Mrays/sec/chip (sharded PPM photon+eye pass, caustics)",
+                   rays_ppm / dt_ppm / 1e6)
+
+
+BENCHES = {
+    "smoke": bench_smoke,
+    "glossy": bench_glossy,
+    "bigscene": bench_bigscene,
+    "volume": bench_volume,
+    "caustic": bench_caustic,
+    # headline LAST: the driver records the final JSON line
+    "cornell": bench_cornell,
+}
+
+
+def _run_subprocess(name: str) -> bool:
+    """Run one config in an isolated subprocess; forward its stdout JSON
+    lines. Returns True if at least one JSON line was produced and rc==0."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "bench.py"), name],
+            cwd=here, timeout=CONFIG_TIMEOUT_S,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        rc, out, err = proc.returncode, proc.stdout, proc.stderr
+    except subprocess.TimeoutExpired as e:
+        rc = -1
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        err = f"TIMEOUT after {CONFIG_TIMEOUT_S}s"
+    dt = time.perf_counter() - t0
+    for line in (err or "").splitlines():
+        if line.startswith("#"):
+            print(line, file=sys.stderr)
+    got_json = False
+    for line in (out or "").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            print(line, flush=True)
+            got_json = True
+    ok = rc == 0 and got_json
+    status = "ok" if ok else f"FAILED rc={rc}"
+    print(f"# bench {name}: {status} ({dt:.0f}s)", file=sys.stderr)
+    if not ok and err:
+        tail = "\n".join(str(err).splitlines()[-6:])
+        print(f"# bench {name} stderr tail:\n{tail}", file=sys.stderr)
+    return ok
 
 
 def main():
     only = sys.argv[1] if len(sys.argv) > 1 else None
-    benches = {
-        "glossy": bench_glossy,
-        "bigscene": bench_bigscene,
-        "volume": bench_volume,
-        "caustic": bench_caustic,
-        # headline LAST: the driver records the final JSON line
-        "cornell": bench_cornell,
-    }
     if only:
-        benches[only]()
+        BENCHES[only]()
         return
-    for name, fn in benches.items():
-        try:
-            fn()
-        except Exception as e:  # keep the headline line printable no matter what
-            print(f"# bench {name} FAILED: {e!r}", file=sys.stderr)
-            if name == "cornell":
-                raise
+    # Crash-isolated full suite: one subprocess per config. The XLA
+    # persistent compilation cache (enabled at package import) makes the
+    # subprocess model cheap — each config's programs compile once per
+    # machine, ever.
+    for name in BENCHES:
+        if name in ("cornell", "smoke"):
+            continue
+        _run_subprocess(name)
+    for attempt in range(HEADLINE_RETRIES):
+        if _run_subprocess("cornell"):
+            return
+        print(f"# headline retry {attempt + 1}/{HEADLINE_RETRIES}",
+              file=sys.stderr)
+    sys.exit(1)  # no headline number — make the failure loud
 
 
 if __name__ == "__main__":
-    import jax  # noqa: E402  (after potential XLA_FLAGS from callers)
-
     main()

@@ -42,8 +42,8 @@ class BVH(NamedTuple):
     woop: jnp.ndarray         # (T_padded, 12) float32 Woop triangle transforms
     tri_index: jnp.ndarray    # (T_padded,) int32 -> original triangle id
     root_code: jnp.ndarray    # () int32: inner index 0, or leaf code if tiny scene
-    world_min: jnp.ndarray    # (3,)
-    world_max: jnp.ndarray    # (3,)
+    world_min: jnp.ndarray    # (3,) — numpy at build time (host-side metadata;
+    world_max: jnp.ndarray    # (3,)   avoids device readbacks on build paths)
 
 
 def woop_transform(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> np.ndarray:
@@ -107,9 +107,9 @@ def build_bvh(vertices: np.ndarray, use_native: bool = True,
                 nodes=jnp.asarray(node_arr),
                 woop=jnp.asarray(woop),
                 tri_index=jnp.asarray(np.clip(order, 0, T - 1).astype(np.int32)),
-                root_code=jnp.asarray(np.int32(root)),
-                world_min=jnp.asarray(lo.min(axis=0)),
-                world_max=jnp.asarray(hi.max(axis=0)),
+                root_code=np.int32(root),
+                world_min=lo.min(axis=0),
+                world_max=hi.max(axis=0),
             )
             if with_host:
                 return bvh, {"nodes": node_arr, "woop": woop, "root": root,
@@ -247,9 +247,9 @@ def build_bvh(vertices: np.ndarray, use_native: bool = True,
         nodes=jnp.asarray(node_arr),
         woop=jnp.asarray(woop),
         tri_index=jnp.asarray(order.astype(np.int32)),
-        root_code=jnp.asarray(np.int32(root)),
-        world_min=jnp.asarray(lo.min(axis=0)),
-        world_max=jnp.asarray(hi.max(axis=0)),
+        root_code=np.int32(root),
+        world_min=lo.min(axis=0),
+        world_max=hi.max(axis=0),
     )
     if with_host:
         return bvh, {"nodes": node_arr, "woop": woop, "root": root,

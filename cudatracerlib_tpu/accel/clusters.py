@@ -5,9 +5,25 @@ instead of per-ray pointer chasing (which TPUs cannot do efficiently), the
 scene is cut into *clusters* of <= CLUSTER_TRIS triangles (contiguous
 subtrees of the SAH BVH, so they are spatially tight), clusters are sorted on
 a Morton curve and grouped into *supers* of SUPER_WAY clusters. The traversal
-kernel (ops/cluster_trace.py) then culls supers -> clusters -> triangles with
-dense VPU math over coherent ray tiles, DMA-ing only the touched clusters'
-Woop data — the memory-traffic-minimizing ray-stream formulation.
+kernel (ops/cluster_trace.py) culls supers -> clusters with interval/slab
+tests over coherent 128-ray tiles and then runs the Woop test of a whole
+cluster against the whole tile as a pair of K=4 matmuls on the MXU — the
+triangle data streams HBM -> VMEM -> MXU with no scalar-core involvement
+(round 2's kernel fed triangles through per-component scalar loads, which
+capped it at ~0.7 Mrays/s; see ops/cluster_trace.py).
+
+Data layout per cluster (the MXU form of the Woop test):
+  wmat[c] : (8, 3*CT) float32, wmat[c, k, row*CT + i] = Woop row `row` (u=0,
+            v=1, w=2) component k (x, y, z, const) of triangle i. Rows 4..7
+            are zero padding to the sublane tile. For ray origins O = (4, R)
+            rows (ox, oy, oz, 1) and directions D = (4, R) rows (dx, dy, dz,
+            0):
+               P = wmat[c,:4].T @ O   -> (3*CT, R): u0 | v0 | w0 blocks
+               Q = wmat[c,:4].T @ D   -> (3*CT, R): ud | vd | wd blocks
+               t = -w0 / wd;  u = u0 + t*ud;  v = v0 + t*vd
+            identical math to Kernel/TraceHelper.cu:638-685, restructured so
+            the 4-deep contractions run on the MXU and everything else is
+            (CT, R) element-wise VPU work.
 """
 from __future__ import annotations
 
@@ -21,33 +37,38 @@ from .bvh import BVH, LEAF_SIZE
 
 CLUSTER_TRIS = 128   # padded triangles per cluster (lane-tile aligned)
 SUPER_WAY = 64       # clusters per super
-PACKET_TRIS = 16     # triangles per packet (packet-AABB-gated sweep)
-N_PACKETS = CLUSTER_TRIS // PACKET_TRIS
 
 
 class ClusterScene(NamedTuple):
     """Pytree of cluster-decomposed geometry (device arrays)."""
 
-    super_boxes: jnp.ndarray    # (NS, 6) [lo, hi]
-    cluster_boxes: jnp.ndarray  # (NS * SUPER_WAY, 6), padded with empty boxes
-    cluster_boxes_cm: jnp.ndarray  # (8, NC2) component-major (lo.xyz, hi.xyz,
-                                   # pad), NC2 = 128-aligned — frustum pre-cull
-    woop: jnp.ndarray           # (NS * SUPER_WAY, 16, CLUSTER_TRIS) — component-major,
-                                #  padded to 16 rows for tile-aligned DMA
-    prim: jnp.ndarray           # (NS * SUPER_WAY, CLUSTER_TRIS) int32 -> bvh-order tri id
-    n_clusters: jnp.ndarray     # () int32 (real clusters before padding)
+    super_cm: jnp.ndarray   # (8, NS_pad) component-major super boxes
+                            # rows: lo.xyz, hi.xyz, pad, pad; empty = inverted
+    scb: jnp.ndarray        # (NS, 8, SUPER_WAY) per-super cluster boxes,
+                            # rows lo.xyz/hi.xyz (+2 pad); empty = inverted
+    cbox: jnp.ndarray       # (NC_pad, 8) the same boxes sublane-major, for
+                            # in-kernel scalar reads (dynamic lane indexing
+                            # is not lowerable; dynamic sublane is)
+    wmat: jnp.ndarray       # (NC_pad, 8, 3*CLUSTER_TRIS) MXU Woop blocks
+    prim: jnp.ndarray       # (NC_pad, CLUSTER_TRIS) int32 -> bvh-order tri id
+    n_clusters: jnp.ndarray  # () int32 (real clusters before padding)
+
+    @property
+    def world_bounds(self):
+        lo = jnp.min(self.super_cm[0:3, :], axis=1)
+        hi = jnp.max(jnp.where(self.super_cm[3:6, :] < -1e29, -jnp.inf,
+                               self.super_cm[3:6, :]), axis=1)
+        return lo, hi
 
 
 def _subtree_ranges(nodes: np.ndarray, root: int):
-    """For every node, the [begin, end) padded-tri range and box, via iterative
-    traversal of the flat child codes."""
+    """For every node, the [begin, end) padded-tri range, via reverse
+    iteration (the builder emits parents before children)."""
     M = nodes.shape[0]
     codes = nodes[:, 12:14].view(np.int32)
     begin = np.zeros(M, np.int64)
     end = np.zeros(M, np.int64)
 
-    # post-order: children before parents; child index > parent index in the
-    # emit order? The builder emits parent BEFORE children, so iterate reversed.
     def leaf_range(code):
         first = -(code + 1)
         return first, first + LEAF_SIZE
@@ -61,21 +82,25 @@ def _subtree_ranges(nodes: np.ndarray, root: int):
     return begin, end
 
 
-def build_clusters(bvh: BVH, host: dict | None = None) -> ClusterScene:
-    """host: optional {'nodes','woop','root'} numpy dict from build_bvh(...,
-    with_host=True) — avoids pulling device arrays back over the interconnect."""
+def build_clusters(bvh: BVH, host: dict | None = None,
+                   with_host: bool = False):
+    """host: optional {'nodes','woop','root','tris'} numpy dict from
+    build_bvh(..., with_host=True) — avoids device readbacks."""
     if host is not None:
         nodes, woop, root = host["nodes"], host["woop"], int(host["root"])
     else:
         nodes = np.asarray(jax.device_get(bvh.nodes))
         woop = np.asarray(jax.device_get(bvh.woop))
         root = int(np.asarray(bvh.root_code))
-    P = woop.shape[0]
     codes = nodes[:, 12:14].view(np.int32)
     begin, end = _subtree_ranges(nodes, max(root, 0))
 
-    # cut: BFS from root; a node becomes a cluster when its padded range fits
-    clusters = []  # (begin, end, box_lo, box_hi)
+    # ---- cut: BFS from root; a node becomes a cluster when its padded
+    # range fits CLUSTER_TRIS ----
+    cl_begin: list[int] = []
+    cl_end: list[int] = []
+    cl_lo: list[np.ndarray] = []
+    cl_hi: list[np.ndarray] = []
 
     def node_box(i):
         lo = np.minimum(nodes[i, 0:3], nodes[i, 6:9])
@@ -86,36 +111,45 @@ def build_clusters(bvh: BVH, host: dict | None = None) -> ClusterScene:
         s = 0 if which == 0 else 6
         return nodes[i, s:s + 3], nodes[i, s + 3:s + 6]
 
+    def emit(b, e, lo, hi):
+        cl_begin.append(int(b))
+        cl_end.append(int(e))
+        cl_lo.append(lo)
+        cl_hi.append(hi)
+
     stack = []
     if root < 0:
         first = -(root + 1)
-        clusters.append((first, first + LEAF_SIZE,
-                         woop[first:first + LEAF_SIZE, :].reshape(-1, 12), None))
+        tri_lo = woop.shape[0]
+        emit(first, min(first + LEAF_SIZE, tri_lo),
+             *node_box(0) if nodes.shape[0] else
+             (np.zeros(3, np.float32), np.ones(3, np.float32)))
     else:
         stack.append(root)
     while stack:
         i = stack.pop()
         if end[i] - begin[i] <= CLUSTER_TRIS:
-            lo, hi = node_box(i)
-            clusters.append((int(begin[i]), int(end[i]), lo, hi))
+            emit(begin[i], end[i], *node_box(i))
             continue
         for which in (0, 1):
             c = codes[i, which]
             if c < 0:
                 first = -(c + 1)
                 lo, hi = child_box(i, which)
-                clusters.append((int(first), int(first + LEAF_SIZE), lo, hi))
+                emit(first, first + LEAF_SIZE, lo, hi)
+            elif end[c] - begin[c] <= CLUSTER_TRIS:
+                lo, hi = child_box(i, which)
+                emit(begin[c], end[c], lo, hi)
             else:
-                if end[c] - begin[c] <= CLUSTER_TRIS:
-                    lo, hi = child_box(i, which)
-                    clusters.append((int(begin[c]), int(end[c]), lo, hi))
-                else:
-                    stack.append(c)
+                stack.append(c)
 
-    n_real = len(clusters)
-    # Morton order on cluster centroids for spatial grouping into supers
-    lo_all = np.stack([c[2] for c in clusters])
-    hi_all = np.stack([c[3] for c in clusters])
+    n_real = len(cl_begin)
+    b_arr = np.asarray(cl_begin, np.int64)
+    e_arr = np.asarray(cl_end, np.int64)
+    lo_all = np.stack(cl_lo).astype(np.float32)
+    hi_all = np.stack(cl_hi).astype(np.float32)
+
+    # ---- Morton order on cluster centroids for spatial grouping ----
     cent = 0.5 * (lo_all + hi_all)
     cmin = cent.min(0)
     cext = np.maximum(cent.max(0) - cmin, 1e-9)
@@ -130,77 +164,54 @@ def build_clusters(bvh: BVH, host: dict | None = None) -> ClusterScene:
 
     morton = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
     order = np.argsort(morton, kind="stable")
+    b_arr, e_arr = b_arr[order], e_arr[order]
+    lo_all, hi_all = lo_all[order], hi_all[order]
 
     n_sup = (n_real + SUPER_WAY - 1) // SUPER_WAY
     nc_pad = n_sup * SUPER_WAY
 
-    cl_boxes = np.zeros((nc_pad, 6), np.float32)
-    cl_boxes[:, 0:3] = 1e30
-    cl_boxes[:, 3:6] = -1e30
-    cl_woop = np.zeros((nc_pad, CLUSTER_TRIS, 12), np.float32)
-    cl_prim = np.zeros((nc_pad, CLUSTER_TRIS), np.int32)
-    # per-packet AABBs (world space), inverted for empty/padded packets so
-    # the kernel's any-lane packet gate skips them outright
-    pk_lo = np.full((nc_pad, N_PACKETS, 3), 1e30, np.float32)
-    pk_hi = np.full((nc_pad, N_PACKETS, 3), -1e30, np.float32)
-    tris_leaf = host.get("tris") if host is not None else None
-    for slot, ci in enumerate(order):
-        b, e, lo, hi = clusters[ci]
-        cl_boxes[slot, 0:3] = lo
-        cl_boxes[slot, 3:6] = hi
-        cnt = e - b
-        cl_woop[slot, :cnt] = woop[b:e]
-        cl_prim[slot, :cnt] = np.arange(b, e)
-        if cnt < CLUSTER_TRIS:  # pad by repeating the first triangle
-            cl_woop[slot, cnt:] = woop[b]
-            cl_prim[slot, cnt:] = b
-        if tris_leaf is not None:
-            for p in range((cnt + PACKET_TRIS - 1) // PACKET_TRIS):
-                seg = tris_leaf[b + p * PACKET_TRIS:
-                                b + min((p + 1) * PACKET_TRIS, cnt)]
-                pk_lo[slot, p] = seg.reshape(-1, 3).min(0)
-                pk_hi[slot, p] = seg.reshape(-1, 3).max(0)
-        else:  # no vertex data: gate degrades to the cluster box (always on)
-            pk_lo[slot, :] = lo
-            pk_hi[slot, :] = hi
-    # transpose to component-major and pad 12 -> 16 rows: HBM slices must be
-    # sublane-tile (8) aligned for the kernel's per-cluster DMA. Row 12
-    # carries the packet AABBs: [lo_x(P), lo_y(P), lo_z(P), hi_x(P), hi_y(P),
-    # hi_z(P)] at N_PACKETS stride (ops/cluster_trace.py packet gate).
-    cl_woop = np.ascontiguousarray(cl_woop.transpose(0, 2, 1))
-    cl_woop = np.concatenate(
-        [cl_woop, np.zeros((nc_pad, 4, CLUSTER_TRIS), np.float32)], axis=1
-    )
-    assert 6 * N_PACKETS <= CLUSTER_TRIS
-    cl_woop[:, 12, 0 * N_PACKETS:1 * N_PACKETS] = pk_lo[:, :, 0]
-    cl_woop[:, 12, 1 * N_PACKETS:2 * N_PACKETS] = pk_lo[:, :, 1]
-    cl_woop[:, 12, 2 * N_PACKETS:3 * N_PACKETS] = pk_lo[:, :, 2]
-    cl_woop[:, 12, 3 * N_PACKETS:4 * N_PACKETS] = pk_hi[:, :, 0]
-    cl_woop[:, 12, 4 * N_PACKETS:5 * N_PACKETS] = pk_hi[:, :, 1]
-    cl_woop[:, 12, 5 * N_PACKETS:6 * N_PACKETS] = pk_hi[:, :, 2]
+    # ---- triangle gather + MXU layout, fully vectorized ----
+    cnt = (e_arr - b_arr)[:, None]                       # (NCr, 1)
+    lane = np.arange(CLUSTER_TRIS, dtype=np.int64)[None, :]
+    idx = np.where(lane < cnt, b_arr[:, None] + lane, b_arr[:, None])
+    gathered = woop[idx]                                 # (NCr, CT, 12)
+    wm = gathered.reshape(n_real, CLUSTER_TRIS, 3, 4)
+    wm = np.ascontiguousarray(wm.transpose(0, 3, 2, 1))  # (NCr, 4, 3, CT)
+    wmat = np.zeros((nc_pad, 8, 3 * CLUSTER_TRIS), np.float32)
+    wmat[:n_real, :4] = wm.reshape(n_real, 4, 3 * CLUSTER_TRIS)
+    prim = np.zeros((nc_pad, CLUSTER_TRIS), np.int32)
+    prim[:n_real] = idx.astype(np.int32)
 
-    sup_boxes = np.zeros((n_sup, 6), np.float32)
-    for s in range(n_sup):
-        seg = cl_boxes[s * SUPER_WAY:(s + 1) * SUPER_WAY]
-        real = seg[:, 0] < 1e29
-        if real.any():
-            sup_boxes[s, 0:3] = seg[real, 0:3].min(0)
-            sup_boxes[s, 3:6] = seg[real, 3:6].max(0)
-        else:
-            sup_boxes[s, 0:3] = 1e30
-            sup_boxes[s, 3:6] = -1e30
+    # ---- boxes: per-super component-major cluster boxes + super boxes ----
+    boxes6 = np.concatenate([np.full((nc_pad, 3), 1e30, np.float32),
+                             np.full((nc_pad, 3), -1e30, np.float32)], axis=1)
+    boxes6[:n_real, 0:3] = lo_all
+    boxes6[:n_real, 3:6] = hi_all
+    scb = np.zeros((n_sup, 8, SUPER_WAY), np.float32)
+    scb[:, 0:6, :] = boxes6.reshape(n_sup, SUPER_WAY, 6).transpose(0, 2, 1)
+    cbox = np.zeros((nc_pad, 8), np.float32)
+    cbox[:, 0:6] = boxes6
 
-    nc2 = ((nc_pad + 127) // 128) * 128
-    cl_cm = np.zeros((8, nc2), np.float32)
-    cl_cm[0:3, :] = 1e30          # empty boxes never pass the frustum test
-    cl_cm[3:6, :] = -1e30
-    cl_cm[0:6, :nc_pad] = cl_boxes.T
+    ns_pad = max(((n_sup + 127) // 128) * 128, 128)
+    super_cm = np.zeros((8, ns_pad), np.float32)
+    super_cm[0:3, :] = 1e30
+    super_cm[3:6, :] = -1e30
+    real3 = boxes6.reshape(n_sup, SUPER_WAY, 6)
+    super_cm[0:3, :n_sup] = real3[:, :, 0:3].min(axis=1).T
+    super_cm[3:6, :n_sup] = np.where(
+        (real3[:, :, 0] < 1e29).any(axis=1)[:, None],
+        real3[:, :, 3:6].max(axis=1), -1e30,
+    ).T
 
-    return ClusterScene(
-        super_boxes=jnp.asarray(sup_boxes),
-        cluster_boxes=jnp.asarray(cl_boxes),
-        cluster_boxes_cm=jnp.asarray(cl_cm),
-        woop=jnp.asarray(cl_woop),
-        prim=jnp.asarray(cl_prim),
+    cs = ClusterScene(
+        super_cm=jnp.asarray(super_cm),
+        scb=jnp.asarray(scb),
+        cbox=jnp.asarray(cbox),
+        wmat=jnp.asarray(wmat),
+        prim=jnp.asarray(prim),
         n_clusters=jnp.asarray(np.int32(n_real)),
     )
+    if with_host:  # host copies for the scene npz cache (no device readbacks)
+        return cs, dict(super_cm=super_cm, scb=scb, cbox=cbox, wmat=wmat,
+                        prim=prim, n_clusters=np.int32(n_real))
+    return cs

@@ -60,10 +60,31 @@ class PTConfig(NamedTuple):
 
 
 def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
-    """Derive the static type sets from a concrete scene (host side)."""
+    """Derive the static type sets from a concrete scene (host side).
+
+    build_scene registers the host-derived specialization at build time
+    (scene.py _SPECIALIZE_CACHE) — reading the shading arrays back from the
+    device here costs ~seconds/MB over the axon tunnel, so the readback path
+    below is only a fallback for hand-assembled scenes."""
     if config.bsdf_types is not None:
         return config
     import numpy as np
+
+    from ..scene.scene import get_registered_specialization
+
+    reg = get_registered_specialization(scene)
+    if reg is not None:
+        merged = config._replace(**reg)
+        if config.regularization > 0.0:
+            import cudatracerlib_tpu.scene.bsdf as B
+
+            mapped = set(merged.bsdf_types)
+            if B.CONDUCTOR in mapped:
+                mapped.add(B.ROUGHCONDUCTOR)
+            if B.DIELECTRIC in mapped or B.THINDIELECTRIC in mapped:
+                mapped.add(B.ROUGHDIELECTRIC)
+            merged = merged._replace(bsdf_types=tuple(sorted(mapped)))
+        return merged
 
     used_mats = np.unique(np.asarray(scene.shading.mat_id))
     mats = scene.materials

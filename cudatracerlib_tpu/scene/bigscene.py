@@ -39,8 +39,17 @@ def _terrain(n: int, extent: float, rng) -> np.ndarray:
     return np.concatenate([t1, t2]).astype(np.float32)
 
 
-def build_big_scene(n_tris_target: int = 1_000_000, seed: int = 0,
-                    light: str = "area") -> Scene:
+def _big_geometry(n_tris_target: int, seed: int):
+    """Procedural geometry, npz-cached (the 1,650-object python loop costs
+    ~15 s; the cache makes bench setup warm-start in seconds)."""
+    from .scene import _scene_cache_path
+
+    path = _scene_cache_path(f"biggeo-{n_tris_target}-{seed}")
+    try:
+        with np.load(path) as z:
+            return z["vertices"], z["mat_id"]
+    except (OSError, KeyError):
+        pass
     rng = np.random.default_rng(seed)
     extent = 20.0
 
@@ -79,6 +88,17 @@ def build_big_scene(n_tris_target: int = 1_000_000, seed: int = 0,
 
     vertices = np.concatenate(parts)
     mat_id = np.asarray(mids, np.int32)
+    try:
+        np.savez(path, vertices=vertices, mat_id=mat_id)
+    except OSError:
+        pass
+    return vertices, mat_id
+
+
+def build_big_scene(n_tris_target: int = 1_000_000, seed: int = 0,
+                    light: str = "area") -> Scene:
+    vertices, mat_id = _big_geometry(n_tris_target, seed)
+    extent = 20.0
 
     textures = Textures.build([
         {"type": 0, "color_a": [0.45, 0.4, 0.3]},
@@ -104,4 +124,5 @@ def build_big_scene(n_tris_target: int = 1_000_000, seed: int = 0,
         origin=[0.0, -extent * 1.2, 6.0], target=[0.0, 0.0, 1.0], fov_deg=55.0
     )
     return build_scene(vertices, None, None, mat_id, materials, textures,
-                       light_records, camera)
+                       light_records, camera,
+                       cache_key=f"bigscene-{n_tris_target}-{seed}")

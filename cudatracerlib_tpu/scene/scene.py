@@ -33,6 +33,17 @@ from .sensors import Camera
 from .textures import Textures
 
 
+from ._hostcache import (get_host as _get_host, get_specialization,
+                         register_host as _register_host,
+                         register_specialization)
+
+
+def get_registered_specialization(scene: "Scene"):
+    """PTConfig field dict computed host-side at build time, or None
+    (see _hostcache — avoids device readbacks in specialize_config)."""
+    return get_specialization(scene.shading.mat_id)
+
+
 class Materials(NamedTuple):
     """SoA material table (counterpart of Engine/Material.h:38 + BSDF params)."""
 
@@ -95,7 +106,9 @@ class Materials(NamedTuple):
             for k, v in r.items():
                 if k in out:
                     out[k][i] = v
-        return Materials(**{k: jnp.asarray(v) for k, v in out.items()})
+        mats = Materials(**{k: jnp.asarray(v) for k, v in out.items()})
+        _register_host(mats.bsdf_type, out)
+        return mats
 
 
 class ShadingData(NamedTuple):
@@ -126,8 +139,11 @@ class Scene(NamedTuple):
 
 
 # Triangle-count threshold above which the cluster stream tracer is used on
-# accelerator backends (below it the dense Pallas kernel wins).
-CLUSTER_MIN_TRIS = 16384
+# accelerator backends (below it the dense Pallas kernel wins). This abuts
+# DENSE_MAX_TRIS exactly: the 4k-16k gap that round 2 left to the lockstep
+# XLA while-loop traversal kernel-faulted the TPU worker (BENCH_r02 crash),
+# so every scene above the dense band now takes the cluster kernel.
+CLUSTER_MIN_TRIS = traversal_mod.DENSE_MAX_TRIS + 1
 
 
 def scene_intersect(scene: "Scene", o, d, t_min=1e-4, t_max=jnp.inf,
@@ -428,6 +444,25 @@ def gather_nested_params(scene: Scene, it: Interaction, tex_types=None,
     return gather_mat_params(scene, inner, tex_types, uv_width)
 
 
+def _scene_cache_path(cache_key: str) -> str:
+    import os
+
+    d = os.environ.get(
+        "CUDATRACERLIB_TPU_SCENE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "cudatracerlib_tpu_scenes"),
+    )
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, cache_key + ".npz")
+
+
+def _verts_fingerprint(vertices: np.ndarray) -> np.ndarray:
+    """Cheap content check for cache validity: shape + strided samples."""
+    flat = vertices.reshape(-1)
+    idx = np.linspace(0, flat.shape[0] - 1, 64).astype(np.int64)
+    return np.concatenate([[np.float32(flat.shape[0])], flat[idx]])
+
+
 def build_scene(
     vertices: np.ndarray,
     normals: np.ndarray | None,
@@ -438,10 +473,16 @@ def build_scene(
     light_records: list[dict],
     camera: Camera,
     env_map: np.ndarray | None = None,
+    cache_key: str | None = None,
 ) -> Scene:
     """Host-side scene assembly: builds the BVH, permutes shading data into
     leaf order, derives the light-selection CDF (DynamicScene::UpdateScene
-    equivalent, Engine/DynamicScene.cpp:480-556)."""
+    equivalent, Engine/DynamicScene.cpp:480-556).
+
+    `cache_key`: optional name under which the built BVH + cluster arrays are
+    npz-cached on disk (counterpart of the reference's compiled-mesh cache,
+    Engine/MeshLoader/MeshCompiler.h:9-11). The cache is validated against a
+    fingerprint of the vertex data."""
     vertices = np.asarray(vertices, np.float32)
     T = vertices.shape[0]
     if normals is None:
@@ -456,10 +497,50 @@ def build_scene(
         uvs[:, 2, 1] = 1.0
     mat_id = np.asarray(mat_id, np.int32)
 
-    bvh, host = build_bvh(vertices, with_host=True)
-    clusters = None
-    if vertices.shape[0] >= CLUSTER_MIN_TRIS:
-        clusters = build_clusters(bvh, host=host)
+    bvh = clusters = host = None
+    fp = _verts_fingerprint(vertices)
+    if cache_key is not None:
+        try:
+            with np.load(_scene_cache_path(cache_key)) as z:
+                if np.array_equal(z["fingerprint"], fp):
+                    order = z["order"]
+                    bvh = BVH(
+                        nodes=jnp.asarray(z["nodes"]),
+                        woop=jnp.asarray(z["woop"]),
+                        tri_index=jnp.asarray(order),
+                        root_code=np.int32(z["root"]),
+                        world_min=vertices.reshape(-1, 3).min(axis=0),
+                        world_max=vertices.reshape(-1, 3).max(axis=0),
+                    )
+                    host = {"nodes": z["nodes"], "woop": z["woop"],
+                            "root": int(z["root"]), "order": order,
+                            "tris": vertices[order]}
+                    if "cl_super_cm" in z.files:
+                        clusters = ClusterScene(
+                            super_cm=jnp.asarray(z["cl_super_cm"]),
+                            scb=jnp.asarray(z["cl_scb"]),
+                            cbox=jnp.asarray(z["cl_cbox"]),
+                            wmat=jnp.asarray(z["cl_wmat"]),
+                            prim=jnp.asarray(z["cl_prim"]),
+                            n_clusters=jnp.asarray(z["cl_n_clusters"]),
+                        )
+        except (OSError, KeyError, ValueError):
+            bvh = None
+    if bvh is None:
+        bvh, host = build_bvh(vertices, with_host=True)
+        cl_host = None
+        if T >= CLUSTER_MIN_TRIS:
+            clusters, cl_host = build_clusters(bvh, host=host, with_host=True)
+        if cache_key is not None:
+            arrs = dict(fingerprint=fp, nodes=host["nodes"],
+                        woop=host["woop"], root=np.int32(host["root"]),
+                        order=host["order"])
+            if cl_host is not None:
+                arrs.update({"cl_" + k: v for k, v in cl_host.items()})
+            try:
+                np.savez(_scene_cache_path(cache_key), **arrs)
+            except OSError:
+                pass
     order = host["order"]
     v_ord = vertices[order]
     nf = np.cross(v_ord[:, 1] - v_ord[:, 0], v_ord[:, 2] - v_ord[:, 0])
@@ -481,8 +562,11 @@ def build_scene(
         uv_density=jnp.asarray(uv_density.astype(np.float32)),
     )
 
-    world_min = np.asarray(bvh.world_min)
-    world_max = np.asarray(bvh.world_max)
+    # host-side bounds: reading bvh.world_min back from the device here cost
+    # ~90 s per readback over the axon TPU tunnel (round-3 profile) — the
+    # bounds are pure host data, so never round-trip them
+    world_min = vertices.reshape(-1, 3).min(axis=0)
+    world_max = vertices.reshape(-1, 3).max(axis=0)
     center = 0.5 * (world_min + world_max)
     radius = 0.5 * float(np.linalg.norm(world_max - world_min)) + 1e-4
 
@@ -496,6 +580,46 @@ def build_scene(
     for i, r in enumerate(light_records):
         if r["type"] in (lights_mod.INFINITE, lights_mod.CONSTANT_ENV):
             env_id = i
+
+    # ---- host-side static specialization (specialize_config counterpart,
+    # computed here from the numpy inputs so no device readbacks happen) ----
+    mat_host = _get_host(materials.bsdf_type)
+    tex_host = _get_host(textures.ttype)
+    if mat_host is not None and tex_host is not None:
+        used = np.unique(mat_id)
+        used = np.unique(np.concatenate([used, mat_host["nested_id"][used]]))
+        bsdf_types = tuple(sorted(int(x) for x in
+                                  np.unique(mat_host["bsdf_type"][used])))
+        lt = sorted({int(r["type"]) for r in light_records}) or [0]
+        map_ids = np.concatenate([
+            mat_host["tex_normal"][used], mat_host["tex_height"][used],
+            mat_host["tex_alpha"][used],
+        ])
+        tex_ids = np.unique(np.concatenate([
+            mat_host["tex_albedo"][used], mat_host["tex_specular"][used],
+            mat_host["tex_transmittance"][used], map_ids[map_ids >= 0],
+        ]))
+        tex_types = tuple(sorted(int(x) for x in
+                                 np.unique(tex_host["ttype"][tex_ids])))
+        flat = bool(
+            np.allclose(np.asarray(normals, np.float32)[order],
+                        nf[:, None, :], atol=1e-5)
+            and np.allclose(uv_ord[:, 0], 0.0)
+            and np.allclose(uv_ord[:, 1], [1.0, 0.0])
+            and np.allclose(uv_ord[:, 2], [0.0, 1.0])
+        )
+        register_specialization(shading.mat_id, dict(
+            bsdf_types=bsdf_types,
+            light_types=tuple(lt),
+            tex_types=tex_types,
+            flat_shading=flat,
+            normal_maps=bool((mat_host["tex_normal"][used] >= 0).any()),
+            height_maps=bool((mat_host["tex_height"][used] >= 0).any()),
+            parallax=bool((mat_host["tex_height"][used] >= 0).any()
+                          and (mat_host["parallax"][used] > 0).any()),
+            alpha_test=bool(((mat_host["alpha_mode"][used] > 0)
+                             & (mat_host["tex_alpha"][used] >= 0)).any()),
+        ))
     return Scene(
         bvh=bvh,
         shading=shading,

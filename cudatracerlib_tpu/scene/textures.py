@@ -88,7 +88,7 @@ class Textures(NamedTuple):
             atlas = np.stack(layers)
         else:
             atlas = np.ones((1, ATLAS_TOTAL, 3), np.float32)
-        return Textures(
+        tex = Textures(
             ttype=jnp.asarray(ttype),
             color_a=jnp.asarray(ca),
             color_b=jnp.asarray(cb),
@@ -98,6 +98,10 @@ class Textures(NamedTuple):
             filter_mode=jnp.asarray(filt),
             atlas=jnp.asarray(atlas),
         )
+        from ._hostcache import register_host
+
+        register_host(tex.ttype, {"ttype": ttype})
+        return tex
 
 
 def _resample(img: np.ndarray, res: int) -> np.ndarray:
