@@ -42,6 +42,41 @@ def add_samples(film: Film, pixel_id, value, weight=None) -> Film:
     return film._replace(rgb=rgb.reshape(H, W, 3), weight=w.reshape(H, W))
 
 
+def add_samples_filtered(film: Film, sx, sy, value, ftype: int,
+                         radius: float = 1.5, support: int = 1) -> Film:
+    """Filter-importance splatting: weight each camera sample into its
+    filter-support pixels at ACCUMULATION time — the reference's
+    CanonicalFilter path (Engine/Image.cu:22-44 weightSum +
+    Kernel/ImagePipeline/Filter/CanonicalFilter.cu), versus the post-process
+    blur in pipeline.apply_filter which is a different (signal-blurring)
+    estimator.
+
+    sx, sy: (B,) continuous sample positions in pixel units (pixel centers
+    at integer + 0.5). support: taps reach [-support, +support] around the
+    containing pixel."""
+    from .pipeline import filter_eval_1d
+
+    H, W = film.weight.shape
+    value = jnp.nan_to_num(value, nan=0.0, posinf=0.0, neginf=0.0)
+    ix = jnp.floor(sx).astype(jnp.int32)
+    iy = jnp.floor(sy).astype(jnp.int32)
+    rgb = film.rgb.reshape(-1, 3)
+    w_acc = film.weight.reshape(-1)
+    for dy in range(-support, support + 1):
+        qy = iy + dy
+        wy = filter_eval_1d(ftype, (qy.astype(jnp.float32) + 0.5) - sy, radius)
+        for dx in range(-support, support + 1):
+            qx = ix + dx
+            wx = filter_eval_1d(ftype, (qx.astype(jnp.float32) + 0.5) - sx,
+                                radius)
+            w = wx * wy
+            inside = (qx >= 0) & (qx < W) & (qy >= 0) & (qy < H)
+            pid = jnp.where(inside, qy * W + qx, H * W)  # OOB -> dropped
+            rgb = rgb.at[pid].add(value * w[:, None], mode="drop")
+            w_acc = w_acc.at[pid].add(w, mode="drop")
+    return film._replace(rgb=rgb.reshape(H, W, 3), weight=w_acc.reshape(H, W))
+
+
 def add_splats(film: Film, pixel_id, value, mask=None) -> Film:
     """Accumulate light-tracing splats (Image::Splat, Engine/Image.cu:46-66)."""
     H, W = film.weight.shape

@@ -26,6 +26,39 @@ LANCZOS = 3
 TRIANGLE = 4
 
 
+def filter_eval_1d(ftype: int, x, radius: float = 2.0):
+    """Continuous 1-D filter evaluation at offsets x (pixel units) — the
+    reference's Filter::Evaluate functions (SceneTypes/Filter.h:28-151),
+    used for filter-importance splatting at accumulation time
+    (Kernel/ImagePipeline/Filter/CanonicalFilter.cu)."""
+    t = jnp.abs(x) / radius
+    box = (jnp.abs(x) <= 0.5).astype(jnp.float32)
+    gauss = jnp.maximum(
+        jnp.exp(-2.0 * x * x) - jnp.exp(-2.0 * radius * radius), 0.0)
+
+    def mitchell(t):
+        B = C = 1.0 / 3.0
+        t = t * 2.0
+        t2 = t * t
+        t3 = t2 * t
+        inner = (
+            (12 - 9 * B - 6 * C) * t3 + (-18 + 12 * B + 6 * C) * t2 + (6 - 2 * B)
+        ) / 6.0
+        outer = (
+            (-B - 6 * C) * t3 + (6 * B + 30 * C) * t2 + (-12 * B - 48 * C) * t + (8 * B + 24 * C)
+        ) / 6.0
+        return jnp.where(t < 1.0, inner, jnp.where(t < 2.0, outer, 0.0))
+
+    def sinc(y):
+        y = jnp.where(jnp.abs(y) < 1e-6, 1e-6, y)
+        return jnp.sin(PI * y) / (PI * y)
+
+    lanczos = jnp.where(t < 1.0, sinc(t * 2.0) * sinc(t * 2.0 / 3.0), 0.0)
+    tri = jnp.maximum(1.0 - t, 0.0)
+    k = [box, gauss, mitchell(t), lanczos, tri][ftype]
+    return jnp.where(t <= 1.0, k, 0.0) if ftype != BOX else k
+
+
 def filter_kernel_1d(ftype: int, radius: float = 2.0, taps: int = 5):
     """Discrete 1-D filter taps (SceneTypes/Filter.h evaluate functions)."""
     x = jnp.arange(taps, dtype=jnp.float32) - (taps - 1) / 2

@@ -57,6 +57,11 @@ class PTConfig(NamedTuple):
     # intermediates) to O(1 bounce), making 512^2+ gradient renders fit HBM
     # (SURVEY.md §5 "long context" = rays/chip + remat)
     remat: bool = False
+    # reconstruction filter applied at ACCUMULATION time (filter-importance
+    # splatting, Engine/Image.cu:22-44 + CanonicalFilter.cu): 0=box (fast
+    # reshape-sum path), 1=gaussian, 2=mitchell, 3=lanczos, 4=triangle
+    rec_filter: int = 0
+    rec_radius: float = 1.5
 
 
 def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
@@ -197,6 +202,10 @@ class BounceOut(NamedTuple):
     path_len: jnp.ndarray    # updated path length (ray-cone footprint)
     sampler: Sampler
     n_rays: jnp.ndarray      # rays actually traced this bounce (scalar)
+    n_nonfinite: jnp.ndarray  # lanes whose contribution/throughput went
+                              # non-finite this bounce, BEFORE any
+                              # nan_to_num laundering (scalar; psum-able
+                              # next to n_rays — SURVEY §5 NaN accounting)
 
 
 def surface_bounce(scene: Scene, config: PTConfig, *, o, d, active,
@@ -378,11 +387,16 @@ def surface_bounce(scene: Scene, config: PTConfig, *, o, d, active,
     else:
         bs_pdf = bs.pdf
         eta_next = eta_scale * bs.eta * bs.eta
+    bad = active & (
+        jnp.any(~jnp.isfinite(L), axis=-1)
+        | (cont & jnp.any(~jnp.isfinite(new_tp), axis=-1))
+    )
     return BounceOut(
         o=new_o, d=wi_world, throughput=new_tp, L_add=L, cont=cont,
         bs_pdf=bs_pdf, delta_now=delta_now, eta_scale=eta_next,
         path_len=path_t, sampler=s,
         n_rays=jnp.sum(active.astype(jnp.float32)) + n_shadow,
+        n_nonfinite=jnp.sum(bad.astype(jnp.float32)),
     )
 
 
@@ -398,6 +412,7 @@ class _Carry(NamedTuple):
     eta_scale: jnp.ndarray     # accumulated eta^2 for RR throughput
     path_len: jnp.ndarray      # accumulated path length (ray-cone footprint)
     n_rays: jnp.ndarray        # rays actually enqueued (closest + shadow)
+    n_nonfinite: jnp.ndarray   # non-finite contributions (debug counter)
 
 
 def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig,
@@ -424,6 +439,7 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig,
         eta_scale=jnp.ones((B,), jnp.float32),
         path_len=jnp.zeros((B,), jnp.float32),
         n_rays=jnp.zeros((), jnp.float32),
+        n_nonfinite=jnp.zeros((), jnp.float32),
     )
 
     def bounce(carry: _Carry, depth):
@@ -449,13 +465,14 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig,
             eta_scale=jnp.where(cont, out.eta_scale, carry.eta_scale),
             path_len=jnp.where(cont, out.path_len, carry.path_len),
             n_rays=carry.n_rays + out.n_rays,
+            n_nonfinite=carry.n_nonfinite + out.n_nonfinite,
         )
         return new_carry, None
 
     body = jax.checkpoint(bounce, prevent_cse=False) if config.remat else bounce
     final, _ = jax.lax.scan(body, init, jnp.arange(config.max_depth))
     if with_stats:
-        return final.L, final.sampler, final.n_rays
+        return final.L, final.sampler, final.n_rays, final.n_nonfinite
     return final.L, final.sampler
 
 
@@ -530,7 +547,24 @@ def _render_body(scene: Scene, width: int, height: int, spp: int, seed,
     out = trace_radiance(scene, o, d, sampler, config, cone=cone,
                          with_stats=with_stats)
     L = out[0]
+    stats = (out[2], out[3]) if with_stats else None
     L = jnp.nan_to_num(L * w_cam, nan=0.0, posinf=0.0, neginf=0.0)
+
+    if config.rec_filter != 0:
+        # filter-importance splatting: each sample lands in its filter
+        # support with continuous weights (image/film.py)
+        from ..image import film as film_mod
+
+        film = film_mod.Film.create(height, width)
+        film = film_mod.add_samples_filtered(
+            film, px + jitter[:, 0], py + jitter[:, 1], L,
+            config.rec_filter, config.rec_radius,
+            support=max(1, int(np.ceil(config.rec_radius - 0.5))),
+        )
+        img = film.rgb / jnp.maximum(film.weight, 1e-8)[..., None]
+        if with_stats:
+            return img, stats
+        return img
 
     # the sample->pixel map is a fixed permutation repeated spp times, so the
     # film "scatter" is a reshape-sum + static inverse-permutation gather
@@ -539,7 +573,7 @@ def _render_body(scene: Scene, width: int, height: int, spp: int, seed,
     inv_perm = jnp.asarray(np.argsort(block_perm_np).astype(np.int32))
     img = slot_sum[inv_perm].reshape(height, width, 3)
     if with_stats:
-        return img, out[2]
+        return img, stats
     return img
 
 
@@ -560,7 +594,22 @@ def render_counted(scene: Scene, width: int, height: int, spp: int, seed,
     """Like `render` but also returns the number of rays actually traced
     (alive closest-hit lanes + NEE shadow rays, summed over bounces)."""
     config = specialize_config(scene, config)
-    return _render_counted_impl(scene, width, height, spp, seed, config)
+    img, (n_rays, _) = _render_counted_impl(scene, width, height, spp, seed,
+                                            config)
+    return img, n_rays
+
+
+def render_with_counters(scene: Scene, width: int, height: int, spp: int,
+                         seed, config: PTConfig = PTConfig()):
+    """Render + debug counters: {'n_rays', 'n_nonfinite'}. n_nonfinite
+    counts lanes whose bounce contribution or throughput went non-finite
+    BEFORE the film's nan_to_num (a counter that separates "rare fp edge"
+    from "broken estimator" — SURVEY §5 NaN accounting; the engine
+    cross-validation tests assert it is zero)."""
+    config = specialize_config(scene, config)
+    img, (n_rays, n_bad) = _render_counted_impl(scene, width, height, spp,
+                                                seed, config)
+    return img, {"n_rays": n_rays, "n_nonfinite": n_bad}
 
 
 def render_pass_fn(scene: Scene, width: int, height: int, spp: int,

@@ -55,6 +55,8 @@ class _WFState(NamedTuple):
     film_w: jnp.ndarray      # (H*W,)
     iters: jnp.ndarray       # ()
     n_rays: jnp.ndarray      # () float32 — rays actually traced
+    n_nonfinite: jnp.ndarray  # () float32 — non-finite contributions seen
+                              # BEFORE laundering (debug counter)
 
 
 def _camera_ray(scene: Scene, ray_id, seed, width, height, spp,
@@ -107,6 +109,7 @@ def _wavefront_impl(scene: Scene, width: int, height: int, spp: int, seed,
         film_w=jnp.zeros((n_px,)),
         iters=jnp.int32(0),
         n_rays=jnp.float32(0.0),
+        n_nonfinite=jnp.float32(0.0),
     )
 
     def cond(st: _WFState):
@@ -184,6 +187,7 @@ def _wavefront_impl(scene: Scene, width: int, height: int, spp: int, seed,
             film_w=film_w,
             iters=st.iters + 1,
             n_rays=st.n_rays + out.n_rays,
+            n_nonfinite=st.n_nonfinite + out.n_nonfinite,
         )
 
     final = jax.lax.while_loop(cond, step, init)
@@ -198,7 +202,7 @@ def _wavefront_impl(scene: Scene, width: int, height: int, spp: int, seed,
     img = film_rgb / jnp.maximum(film_w, 1e-8)[:, None]
     img = img.reshape(height, width, 3)
     if with_stats:
-        return img, final.n_rays
+        return img, final.n_rays, final.n_nonfinite
     return img
 
 
@@ -220,5 +224,21 @@ def render_wavefront_counted(scene: Scene, width: int, height: int, spp: int,
     config = specialize_config(scene, config)
     if capacity is None:
         capacity = min(width * height * spp, 1 << 20)
-    return _wavefront_impl(scene, width, height, spp, jnp.uint32(seed), config,
-                           capacity, with_stats=True)
+    img, n_rays, _ = _wavefront_impl(scene, width, height, spp,
+                                     jnp.uint32(seed), config, capacity,
+                                     with_stats=True)
+    return img, n_rays
+
+
+def render_wavefront_with_counters(scene: Scene, width: int, height: int,
+                                   spp: int, seed,
+                                   config: PTConfig = PTConfig(),
+                                   capacity: int | None = None):
+    """Wavefront render + debug counters (see render_with_counters)."""
+    config = specialize_config(scene, config)
+    if capacity is None:
+        capacity = min(width * height * spp, 1 << 20)
+    img, n_rays, n_bad = _wavefront_impl(scene, width, height, spp,
+                                         jnp.uint32(seed), config, capacity,
+                                         with_stats=True)
+    return img, {"n_rays": n_rays, "n_nonfinite": n_bad}

@@ -63,6 +63,12 @@ def main():
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--out", default="out.png")
+    ap.add_argument("--filter", default="box",
+                    choices=["box", "gaussian", "mitchell", "lanczos",
+                             "triangle"],
+                    help="reconstruction filter applied at accumulation "
+                         "time (filter-importance splatting)")
+    ap.add_argument("--filter-radius", type=float, default=1.5)
     ap.add_argument("--checkpoint", default=None,
                     help="npz path for restartable accumulation")
     args = ap.parse_args()
@@ -73,7 +79,9 @@ def main():
 
     scene = build_scene(args.scene)
     W = H = args.size
-    cfg = PTConfig(max_depth=1 if args.tracer == "direct" else args.depth)
+    filt = ["box", "gaussian", "mitchell", "lanczos", "triangle"].index(args.filter)
+    cfg = PTConfig(max_depth=1 if args.tracer == "direct" else args.depth,
+                   rec_filter=filt, rec_radius=args.filter_radius)
 
     acc = np.zeros((H, W, 3), np.float32)
     start_pass = 0

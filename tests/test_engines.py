@@ -390,3 +390,38 @@ class TestAdaptiveSampling:
                                         capacity=2048)
         img = np.asarray(img)
         assert np.isfinite(img).all() and img.max() > 0.1
+
+
+class TestNaNAccounting:
+    """SURVEY §5: keep checkify/debug guards for NaN — the framework counts
+    non-finite contributions per engine instead of silently laundering them
+    (the nan_to_num at the film boundary stays, but this counter tells
+    'rare fp edge' apart from 'broken MIS weight')."""
+
+    def test_megakernel_counts_zero_on_clean_scenes(self):
+        import numpy as np
+
+        from cudatracerlib_tpu.render.path_tracer import (
+            PTConfig, render_with_counters)
+        from cudatracerlib_tpu.scene.shapes import cornell_box, glossy_scene
+
+        for scene in (cornell_box(), glossy_scene()):
+            img, c = render_with_counters(scene, 24, 24, 4, 0,
+                                          PTConfig(max_depth=4))
+            assert float(c["n_rays"]) > 0
+            assert float(c["n_nonfinite"]) == 0.0, float(c["n_nonfinite"])
+            assert np.isfinite(np.asarray(img)).all()
+
+    def test_wavefront_counts_zero(self):
+        import numpy as np
+
+        from cudatracerlib_tpu.render.path_tracer import PTConfig
+        from cudatracerlib_tpu.render.wavefront import (
+            render_wavefront_with_counters)
+        from cudatracerlib_tpu.scene.shapes import cornell_box
+
+        img, c = render_wavefront_with_counters(
+            cornell_box(), 24, 24, 2, 0, PTConfig(max_depth=3))
+        assert float(c["n_rays"]) > 0
+        assert float(c["n_nonfinite"]) == 0.0, float(c["n_nonfinite"])
+        assert np.isfinite(np.asarray(img)).all()

@@ -257,3 +257,50 @@ class TestProgressive:
         a = np.asarray(render(cornell, 16, 16, 2, 0, cfg_a))
         b = np.asarray(render(cornell, 16, 16, 2, 0, cfg_b))
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestFilterSplatting:
+    def test_gaussian_accumulation_beats_post_blur(self):
+        """Filter-importance splatting (Engine/Image.cu:22-44 weightSum +
+        CanonicalFilter.cu) must beat the post-process blur estimator on MSE
+        vs a converged reference at equal rays: the post-blur smears signal
+        AND noise, the splatting estimator only shares samples inside the
+        filter support."""
+        import numpy as np
+
+        from cudatracerlib_tpu.image.pipeline import GAUSSIAN, apply_filter
+        from cudatracerlib_tpu.render.path_tracer import PTConfig, render
+        from cudatracerlib_tpu.scene.shapes import cornell_box
+
+        scene = cornell_box()
+        W = H = 48
+        # both estimators target the gaussian-filtered measurement, so the
+        # reference is the CONVERGED splat-filtered image (comparing against
+        # a converged box image would count the legitimate AA difference at
+        # the bright light edge as "error" for the splat estimator only)
+        cfg_splat = PTConfig(max_depth=3, rec_filter=GAUSSIAN, rec_radius=1.5)
+        ref = np.zeros((H, W, 3), np.float32)
+        for s in range(4):
+            ref += np.asarray(render(scene, W, H, 32, 100 + s, cfg_splat))
+        ref /= 4
+
+        box = np.asarray(render(scene, W, H, 4, 7, PTConfig(max_depth=3)))
+        # same filter, same 3x3 support for both estimators
+        blurred = np.asarray(apply_filter(box, GAUSSIAN, radius=1.5, taps=3))
+        splat = np.asarray(render(scene, W, H, 4, 7, cfg_splat))
+        mse_blur = float(((blurred - ref) ** 2).mean())
+        mse_splat = float(((splat - ref) ** 2).mean())
+        assert mse_splat < mse_blur, (mse_splat, mse_blur)
+
+    def test_box_filter_path_unchanged(self):
+        """rec_filter=0 must hit the fast reshape-sum path bit-for-bit."""
+        import numpy as np
+
+        from cudatracerlib_tpu.render.path_tracer import PTConfig, render
+        from cudatracerlib_tpu.scene.shapes import cornell_box
+
+        scene = cornell_box()
+        a = np.asarray(render(scene, 24, 24, 2, 3, PTConfig(max_depth=2)))
+        b = np.asarray(render(scene, 24, 24, 2, 3,
+                              PTConfig(max_depth=2, rec_filter=0)))
+        assert np.array_equal(a, b)
