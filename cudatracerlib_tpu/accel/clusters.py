@@ -42,22 +42,26 @@ SUPER_WAY = 64       # clusters per super
 class ClusterScene(NamedTuple):
     """Pytree of cluster-decomposed geometry (device arrays)."""
 
-    super_cm: jnp.ndarray   # (8, NS_pad) component-major super boxes
-                            # rows: lo.xyz, hi.xyz, pad, pad; empty = inverted
-    scb: jnp.ndarray        # (NS, 8, SUPER_WAY) per-super cluster boxes,
-                            # rows lo.xyz/hi.xyz (+2 pad); empty = inverted
-    cbox: jnp.ndarray       # (NC_pad, 8) the same boxes sublane-major, for
-                            # in-kernel scalar reads (dynamic lane indexing
-                            # is not lowerable; dynamic sublane is)
+    supT: jnp.ndarray       # (NS_pad, 8) super boxes sublane-major
+                            # (lo.xyz, hi.xyz, 2 pad); empty = inverted.
+                            # Sublane-major so the kernel can run EXACT
+                            # per-ray slab tests with boxes on sublanes and
+                            # rays on lanes — the round-3 diagnostic showed
+                            # interval/frustum culling passes ~40x more
+                            # clusters than the exact union on bounce tiles
+    cbox: jnp.ndarray       # (NC_pad, 128) cluster boxes, same layout in
+                            # lanes 0..5 (rest zero: DMA slices must be
+                            # lane-tile aligned); a super's clusters are the
+                            # contiguous window cbox[s*SUPER_WAY:(s+1)*SUPER_WAY]
     wmat: jnp.ndarray       # (NC_pad, 8, 3*CLUSTER_TRIS) MXU Woop blocks
     prim: jnp.ndarray       # (NC_pad, CLUSTER_TRIS) int32 -> bvh-order tri id
     n_clusters: jnp.ndarray  # () int32 (real clusters before padding)
 
     @property
     def world_bounds(self):
-        lo = jnp.min(self.super_cm[0:3, :], axis=1)
-        hi = jnp.max(jnp.where(self.super_cm[3:6, :] < -1e29, -jnp.inf,
-                               self.super_cm[3:6, :]), axis=1)
+        lo = jnp.min(self.supT[:, 0:3], axis=0)
+        hi = jnp.max(jnp.where(self.supT[:, 3:6] < -1e29, -jnp.inf,
+                               self.supT[:, 3:6]), axis=0)
         return lo, hi
 
 
@@ -82,16 +86,25 @@ def _subtree_ranges(nodes: np.ndarray, root: int):
     return begin, end
 
 
+MAX_CLUSTERS = 16384  # cbox stays VMEM-resident in the kernel (<= 8 MB)
+
+
 def build_clusters(bvh: BVH, host: dict | None = None,
                    with_host: bool = False):
     """host: optional {'nodes','woop','root','tris'} numpy dict from
-    build_bvh(..., with_host=True) — avoids device readbacks."""
+    build_bvh(..., with_host=True) — avoids device readbacks.
+
+    The cluster size doubles from CLUSTER_TRIS until the cluster count fits
+    MAX_CLUSTERS (the kernel keeps all cluster boxes in VMEM)."""
     if host is not None:
         nodes, woop, root = host["nodes"], host["woop"], int(host["root"])
     else:
         nodes = np.asarray(jax.device_get(bvh.nodes))
         woop = np.asarray(jax.device_get(bvh.woop))
         root = int(np.asarray(bvh.root_code))
+    ct = CLUSTER_TRIS
+    while woop.shape[0] / ct > MAX_CLUSTERS * 0.9:
+        ct *= 2
     codes = nodes[:, 12:14].view(np.int32)
     begin, end = _subtree_ranges(nodes, max(root, 0))
 
@@ -128,7 +141,7 @@ def build_clusters(bvh: BVH, host: dict | None = None,
         stack.append(root)
     while stack:
         i = stack.pop()
-        if end[i] - begin[i] <= CLUSTER_TRIS:
+        if end[i] - begin[i] <= ct:
             emit(begin[i], end[i], *node_box(i))
             continue
         for which in (0, 1):
@@ -137,7 +150,7 @@ def build_clusters(bvh: BVH, host: dict | None = None,
                 first = -(c + 1)
                 lo, hi = child_box(i, which)
                 emit(first, first + LEAF_SIZE, lo, hi)
-            elif end[c] - begin[c] <= CLUSTER_TRIS:
+            elif end[c] - begin[c] <= ct:
                 lo, hi = child_box(i, which)
                 emit(begin[c], end[c], lo, hi)
             else:
@@ -172,46 +185,48 @@ def build_clusters(bvh: BVH, host: dict | None = None,
 
     # ---- triangle gather + MXU layout, fully vectorized ----
     cnt = (e_arr - b_arr)[:, None]                       # (NCr, 1)
-    lane = np.arange(CLUSTER_TRIS, dtype=np.int64)[None, :]
+    lane = np.arange(ct, dtype=np.int64)[None, :]
     idx = np.where(lane < cnt, b_arr[:, None] + lane, b_arr[:, None])
     gathered = woop[idx]                                 # (NCr, CT, 12)
-    wm = gathered.reshape(n_real, CLUSTER_TRIS, 3, 4)
+    wm = gathered.reshape(n_real, ct, 3, 4)
     wm = np.ascontiguousarray(wm.transpose(0, 3, 2, 1))  # (NCr, 4, 3, CT)
-    wmat = np.zeros((nc_pad, 8, 3 * CLUSTER_TRIS), np.float32)
-    wmat[:n_real, :4] = wm.reshape(n_real, 4, 3 * CLUSTER_TRIS)
-    prim = np.zeros((nc_pad, CLUSTER_TRIS), np.int32)
+    wmat = np.zeros((nc_pad, 8, 3 * ct), np.float32)
+    wmat[:n_real, :4] = wm.reshape(n_real, 4, 3 * ct)
+    prim = np.zeros((nc_pad, ct), np.int32)
     prim[:n_real] = idx.astype(np.int32)
 
-    # ---- boxes: per-super component-major cluster boxes + super boxes ----
+    # ---- boxes, sublane-major (see ClusterScene docstring) ----
+    # Boxes are padded by 0.2% + 1e-5 so the kernel's box arithmetic can run
+    # the MXU at DEFAULT (bf16-multiply) precision and stay CONSERVATIVE:
+    # bf16 rounding moves a plane by <= 0.4%, always inside the padding.
+    ext = (hi_all - lo_all) * 2e-3 + np.abs(lo_all) * 4e-3 + 1e-5
+    ext_h = (hi_all - lo_all) * 2e-3 + np.abs(hi_all) * 4e-3 + 1e-5
     boxes6 = np.concatenate([np.full((nc_pad, 3), 1e30, np.float32),
                              np.full((nc_pad, 3), -1e30, np.float32)], axis=1)
-    boxes6[:n_real, 0:3] = lo_all
-    boxes6[:n_real, 3:6] = hi_all
-    scb = np.zeros((n_sup, 8, SUPER_WAY), np.float32)
-    scb[:, 0:6, :] = boxes6.reshape(n_sup, SUPER_WAY, 6).transpose(0, 2, 1)
-    cbox = np.zeros((nc_pad, 8), np.float32)
+    boxes6[:n_real, 0:3] = lo_all - ext
+    boxes6[:n_real, 3:6] = hi_all + ext_h
+    cbox = np.zeros((nc_pad, 128), np.float32)
     cbox[:, 0:6] = boxes6
 
-    ns_pad = max(((n_sup + 127) // 128) * 128, 128)
-    super_cm = np.zeros((8, ns_pad), np.float32)
-    super_cm[0:3, :] = 1e30
-    super_cm[3:6, :] = -1e30
+    ns_pad = max(((n_sup + 7) // 8) * 8, 8)
+    supT = np.zeros((ns_pad, 8), np.float32)
+    supT[:, 0:3] = 1e30
+    supT[:, 3:6] = -1e30
     real3 = boxes6.reshape(n_sup, SUPER_WAY, 6)
-    super_cm[0:3, :n_sup] = real3[:, :, 0:3].min(axis=1).T
-    super_cm[3:6, :n_sup] = np.where(
+    supT[:n_sup, 0:3] = real3[:, :, 0:3].min(axis=1)
+    supT[:n_sup, 3:6] = np.where(
         (real3[:, :, 0] < 1e29).any(axis=1)[:, None],
         real3[:, :, 3:6].max(axis=1), -1e30,
-    ).T
+    )
 
     cs = ClusterScene(
-        super_cm=jnp.asarray(super_cm),
-        scb=jnp.asarray(scb),
+        supT=jnp.asarray(supT),
         cbox=jnp.asarray(cbox),
         wmat=jnp.asarray(wmat),
         prim=jnp.asarray(prim),
         n_clusters=jnp.asarray(np.int32(n_real)),
     )
     if with_host:  # host copies for the scene npz cache (no device readbacks)
-        return cs, dict(super_cm=super_cm, scb=scb, cbox=cbox, wmat=wmat,
+        return cs, dict(supT=supT, cbox=cbox, wmat=wmat,
                         prim=prim, n_clusters=np.int32(n_real))
     return cs

@@ -1,26 +1,39 @@
 """Pallas cluster-stream traversal kernel — the big-scene intersector.
 
 TPU-native replacement for the reference's Aila-Laine persistent-threads BVH
-kernel (Kernel/TraceHelper.cu:326-746). v2 design (round 3):
+kernel (Kernel/TraceHelper.cu:326-746). v3 design (round 3):
 
-  per 128-ray tile (one lane row, Morton+octant sorted for coherence):
-    1. interval-arithmetic slab test of the tile against ALL super boxes in
-       one vectorized round (supers are component-major in VMEM)
-    2. surviving supers, nearest-first: interval test their SUPER_WAY
-       cluster boxes (vectorized), then an exact any-lane slab test per
-       surviving cluster
-    3. each surviving cluster: DMA its (8, 3*CT) Woop block HBM->VMEM
-       (double-buffered) and run the whole-cluster x whole-tile Woop test as
-       TWO K=4 MATMULS on the MXU + (CT, 128) element-wise VPU work
-       (see accel/clusters.py for the wmat layout)
+  per 1024-ray block (8 lane-rows of 128, Morton-sorted 5-bit origin +
+  5-bit direction key for coherence):
+    1. EXACT vectorized slab test of every ray against ALL super boxes:
+       boxes on sublanes x rays on lanes, one (NS, 128) VPU pass per row,
+       min-reduced across rows -> per-super entry distance for the block
+    2. surviving supers in Morton order; per super the same exact test
+       against its SUPER_WAY cluster boxes appends survivors to ONE
+       block-wide queue via a BRANCHLESS gather (scalar-core loops with
+       conditionals cost ~100 cycles/iteration; the ordering machinery an
+       earlier revision ran per 128-ray subtile was 70% of total runtime)
+    3. the queue drains through a RING-deep DMA pipeline: each cluster's
+       (8, 3*CT) Woop block streams HBM->VMEM ~RING ahead of its sweep,
+       and the Woop test runs as K=4 fp32 MATMULS on the MXU (one pair per
+       lane-row) + (CT, 128) element-wise VPU work. Best-hit state is
+       loop-carried SSA values — any ref RMW inside the sweep deoptimizes.
 
-Why v2: round 2's kernel swept triangles through per-component *scalar*
-loads (12 SMEM reads per triangle per tile), capping the 826k-tri config at
-0.66 Mrays/s — the scalar core was the pipe. v2 streams triangle data
-HBM -> VMEM -> MXU, uses 8x smaller ray tiles (128 vs 1024: per-tile cluster
-unions shrink toward the per-ray truth -> work-proportionality), and keeps
-the scalar core to box gating only. Early termination: per-tile t_cap (max
-over lanes of best t) prunes supers/clusters front-to-back.
+  The winner is selected WITHOUT cross-sublane argmin: the local triangle
+  id rides the low TRI_BITS mantissa bits of the t-key (IEEE order is
+  monotonic for positive floats), and exact t/u/v are recomputed from the
+  winning prim OUTSIDE the kernel.
+
+Why exact (not interval/frustum) culling: the round-3 diagnostic on real
+bounce batches measured interval-frustum culling passing ~2,800 clusters
+per tile where the exact union is ~74 — incoherent tiles have useless
+frustums, and every scalar loop downstream scales with the pass count.
+
+Why MXU triangle tests: round 2's kernel fed triangles through
+per-component *scalar* loads (12 SMEM reads per triangle per tile), capping
+the 826k-tri config at 0.66 Mrays/s — the scalar core was the pipe. Here
+triangle data streams HBM -> VMEM -> MXU and the scalar core only walks
+box-test survivors.
 """
 from __future__ import annotations
 
@@ -31,338 +44,338 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..accel.clusters import CLUSTER_TRIS, SUPER_WAY, ClusterScene
+from ..accel.clusters import SUPER_WAY, ClusterScene
 from ..accel.traversal import Hit
 
 LANES = 128
-CT = CLUSTER_TRIS
+ROWS = 8          # lane-rows per block; block = ROWS * LANES = 1024 rays
 INF = 3e30
-MAX_ORD = 64      # capacity of the near-ordered surviving-super list
+TRI_BITS = 10     # low mantissa bits of the t-key carrying the local tri id
+RING = 16         # wmat DMA pipeline depth (hides ~1.5 us DMA start latency)
+N_BUCKETS = 16    # near-distance buckets for the approximate super ordering
+MAX_ORD = 256     # = MAX_CLUSTERS / SUPER_WAY: every super always fits
+QMAX = 512        # block-wide cluster queue capacity (drained when full)
 
 
-def _interval_near_far(lo, hi, b_ref):
-    """Conservative [near, far] of a box row-vector pair against the tile's
-    interval bounds (o_lo/o_hi, inv_lo/inv_hi per axis + t bounds in b_ref).
-
-    lo/hi: tuples of 3 row vectors (1, N). Returns (near, far) (1, N): if
-    near <= far some ray in the tile MAY enter the box (conservative)."""
-    near = None
-    far = None
-    for ax in range(3):
-        o_l, o_h = b_ref[2 * ax], b_ref[2 * ax + 1]
-        i_l, i_h = b_ref[6 + 2 * ax], b_ref[6 + 2 * ax + 1]
-        lo_m_ol = lo[ax] - o_l
-        lo_m_oh = lo[ax] - o_h
-        hi_m_ol = hi[ax] - o_l
-        hi_m_oh = hi[ax] - o_h
-        p0 = lo_m_ol * i_l
-        p1 = lo_m_ol * i_h
-        p2 = lo_m_oh * i_l
-        p3 = lo_m_oh * i_h
-        p4 = hi_m_ol * i_l
-        p5 = hi_m_ol * i_h
-        p6 = hi_m_oh * i_l
-        p7 = hi_m_oh * i_h
-        ax_lo = jnp.minimum(jnp.minimum(jnp.minimum(p0, p1), jnp.minimum(p2, p3)),
-                            jnp.minimum(jnp.minimum(p4, p5), jnp.minimum(p6, p7)))
-        ax_hi = jnp.maximum(jnp.maximum(jnp.maximum(p0, p1), jnp.maximum(p2, p3)),
-                            jnp.maximum(jnp.maximum(p4, p5), jnp.maximum(p6, p7)))
-        near = ax_lo if near is None else jnp.maximum(near, ax_lo)
-        far = ax_hi if far is None else jnp.minimum(far, ax_hi)
-    near = jnp.maximum(near, b_ref[12])   # tmin lower bound
-    far = jnp.minimum(far, b_ref[13])     # tmax upper bound
-    return near, far
+import os  # noqa: E402  (CT_DEBUG_COUNTS env hook for .scratch profilers)
 
 
-SUBTILES = 8  # independent 128-ray tiles per grid step (block tiling: the
-              # out block must be (8, 128); each subtile still culls alone)
+def _split(x):
+    """f32 -> (bf16-representable hi, residual lo) for 3-pass f32 matmuls."""
+    xh = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return xh, x - xh
 
 
-def _cluster_kernel(sup_ref, scb_ref, cbox_ref, rays_ref, wmat_hbm, t_ref, code_ref,
-                    u_ref, v_ref, wscr, near_scr, supn_scr, bounds, ord_id,
-                    ord_near, n_ord, queue, nq_ref, tcap_ref, sem,
-                    *, n_super, ns_pad, any_hit):
-    def do_tile(st, _):
-        return _do_tile(st, sup_ref, scb_ref, cbox_ref, rays_ref, wmat_hbm, t_ref,
-                        code_ref, u_ref, v_ref, wscr, near_scr, supn_scr,
-                        bounds, ord_id, ord_near, n_ord, queue, nq_ref,
-                        tcap_ref, sem, n_super=n_super, ns_pad=ns_pad,
-                        any_hit=any_hit)
+def _cluster_kernel(sup_ref, rays_ref, cbox_ref, wmat_hbm, t_ref, code_ref,
+                    dbg_ref, wscr, near_scr, supn_scr, queue, qnear, nq_ref,
+                    tcap_ref, bt_scr, bc_scr, ord_id, ord_near, bkt_n, ctr,
+                    sem, *, n_super, ct, any_hit):
+    ctr[0] = 0  # queued
+    ctr[1] = 0  # swept
+    ctr[2] = 0  # supers processed
+    id_mask = (1 << TRI_BITS) - 1
 
-    jax.lax.fori_loop(0, SUBTILES, do_tile, 0)
+    # ---- per-row ray data (static reads; hoisted out of all loops) ----
+    R = []
+    for r in range(ROWS):
+        ox = rays_ref[r, 0:1, :]
+        oy = rays_ref[r, 1:2, :]
+        oz = rays_ref[r, 2:3, :]
+        dx = rays_ref[r, 3:4, :]
+        dy = rays_ref[r, 4:5, :]
+        dz = rays_ref[r, 5:6, :]
+        tmin = rays_ref[r, 6:7, :]
+        tmax = rays_ref[r, 7:8, :]
+        idx = 1.0 / jnp.where(jnp.abs(dx) < 1e-20, 1e-20, dx)
+        idy = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
+        idz = 1.0 / jnp.where(jnp.abs(dz) < 1e-20, 1e-20, dz)
+        o4 = jnp.concatenate(
+            [ox, oy, oz, jnp.ones((1, LANES), jnp.float32)], axis=0)
+        d4 = jnp.concatenate(
+            [dx, dy, dz, jnp.zeros((1, LANES), jnp.float32)], axis=0)
+        o4h, o4l = _split(o4)
+        d4h, d4l = _split(d4)
+        R.append(dict(ox=ox, oy=oy, oz=oz, idx=idx, idy=idy, idz=idz,
+                      tmin=tmin, tmax=tmax, o4h=o4h, o4l=o4l,
+                      d4h=d4h, d4l=d4l))
 
+    tcap_ref[0] = jnp.max(rays_ref[:, 7, :])
 
-def _do_tile(st, sup_ref, scb_ref, cbox_ref, rays_ref, wmat_hbm, t_ref, code_ref,
-             u_ref, v_ref, wscr, near_scr, supn_scr, bounds, ord_id,
-             ord_near, n_ord, queue, nq_ref, tcap_ref, sem,
-             *, n_super, ns_pad, any_hit):
-    row = pl.ds(st, 1)
-    ox = rays_ref[st, 0:1, :]
-    oy = rays_ref[st, 1:2, :]
-    oz = rays_ref[st, 2:3, :]
-    dx = rays_ref[st, 3:4, :]
-    dy = rays_ref[st, 4:5, :]
-    dz = rays_ref[st, 5:6, :]
-    tmin = rays_ref[st, 6:7, :]
-    tmax = rays_ref[st, 7:8, :]
-    idx = 1.0 / jnp.where(jnp.abs(dx) < 1e-20, 1e-20, dx)
-    idy = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
-    idz = 1.0 / jnp.where(jnp.abs(dz) < 1e-20, 1e-20, dz)
+    ones_row = jnp.ones((1, LANES), jnp.float32)
 
-    t_ref[row] = tmax
-    code_ref[row] = jnp.full((1, LANES), -1, jnp.int32)
-    u_ref[row] = jnp.zeros((1, LANES), jnp.float32)
-    v_ref[row] = jnp.zeros((1, LANES), jnp.float32)
-
-    # ---- tile interval bounds -> SMEM (o_lo/o_hi, inv_lo/inv_hi, t) ----
-    bounds[0] = jnp.min(ox)
-    bounds[1] = jnp.max(ox)
-    bounds[2] = jnp.min(oy)
-    bounds[3] = jnp.max(oy)
-    bounds[4] = jnp.min(oz)
-    bounds[5] = jnp.max(oz)
-    bounds[6] = jnp.min(idx)
-    bounds[7] = jnp.max(idx)
-    bounds[8] = jnp.min(idy)
-    bounds[9] = jnp.max(idy)
-    bounds[10] = jnp.min(idz)
-    bounds[11] = jnp.max(idz)
-    bounds[12] = jnp.min(tmin)
-    bounds[13] = jnp.max(tmax)
-    tcap_ref[0] = jnp.max(tmax)
-
-    # ---- vectorized interval test of ALL supers (128 per round) ----
-    for r in range(ns_pad // LANES):
-        sl = slice(r * LANES, (r + 1) * LANES)
-        lo = (sup_ref[0, sl].reshape(1, LANES), sup_ref[1, sl].reshape(1, LANES),
-              sup_ref[2, sl].reshape(1, LANES))
-        hi = (sup_ref[3, sl].reshape(1, LANES), sup_ref[4, sl].reshape(1, LANES),
-              sup_ref[5, sl].reshape(1, LANES))
-        near, far = _interval_near_far(lo, hi, bounds)
-        val = jnp.where(near <= far, near, INF)
-        supn_scr[sl, :] = val.reshape(LANES, 1)
-
-    # ---- collect surviving supers into a near-ordered list (selection by
-    # repeated insertion is fine: survivors are few) ----
-    n_ord[0] = 0
-
-    def collect(s, _):
-        ns = supn_scr[s, 0]
-
-        @pl.when(ns < INF)
-        def _():
-            k = n_ord[0]
-
-            @pl.when(k < MAX_ORD)
-            def _():
-                ord_id[k] = s
-                ord_near[k] = ns
-                n_ord[0] = k + 1
-
-        return 0
-
-    jax.lax.fori_loop(0, n_super, collect, 0)
-    n_sur = n_ord[0]
-
-    # selection sort by near (n_sur is small; O(n^2) scalar ops)
-    def sort_body(i, _):
-        def find_min(j, best):
-            bi, bv = best
-            v = ord_near[j]
-            better = v < bv
-            return (jnp.where(better, j, bi), jnp.where(better, v, bv))
-
-        bi, bv = jax.lax.fori_loop(i, n_sur, find_min, (i, ord_near[i]))
-        ti, tv = ord_id[i], ord_near[i]
-        ord_id[i] = ord_id[bi]
-        ord_near[i] = bv
-        ord_id[bi] = ti
-        ord_near[bi] = tv
-        return 0
-
-    jax.lax.fori_loop(0, jnp.maximum(n_sur - 1, 0), sort_body, 0)
-
-    # ---- per-cluster MXU sweep ----
-    o4 = jnp.concatenate([ox, oy, oz, jnp.ones((1, LANES), jnp.float32)], axis=0)
-    d4 = jnp.concatenate([dx, dy, dz, jnp.zeros((1, LANES), jnp.float32)], axis=0)
-    iota_tri = jax.lax.broadcasted_iota(jnp.int32, (CT, LANES), 0)
-
-    def sweep(slot, c):
-        w = wscr[slot, 0:4, :]                   # (4, 3*CT)
-        # HIGHEST: the MXU multiplies in bf16 passes by default, which is
-        # catastrophic for Woop plane equations (t errors ~1e-2 relative);
-        # the 6-pass f32 decomposition restores fp32-accurate hits
-        P = jax.lax.dot_general(
-            w, o4, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )                                        # (3*CT, LANES)
-        Q = jax.lax.dot_general(
-            w, d4, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+    def _mat(col):
+        """Materialize an (N,1) box column as a FULL (N,128) tile via a K=1
+        outer product with ones on the MXU. Mosaic lowers an element-wise op
+        with a COLUMN-broadcast operand ~500x slower than its FLOPs
+        (measured 48 us for ONE (152,128) slab pass); a materialized tile
+        takes the normal fast path. DEFAULT precision is safe because the
+        boxes are pre-padded at build time beyond bf16 rounding error
+        (accel/clusters.py)."""
+        return jax.lax.dot_general(
+            col, ones_row, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        w0 = P[2 * CT:3 * CT, :]
-        wd = Q[2 * CT:3 * CT, :]
-        wd = jnp.where(jnp.abs(wd) < 1e-20, 1e-20, wd)
-        t = -w0 / wd
-        ok = (t > tmin) & (t < t_ref[row])       # (CT, LANES) vs (1, LANES)
-        u = P[0:CT, :] + t * Q[0:CT, :]
-        v = P[CT:2 * CT, :] + t * Q[CT:2 * CT, :]
-        ok = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-        tm = jnp.where(ok, t, INF)
-        col_min = jnp.min(tm, axis=0, keepdims=True)        # (1, LANES)
-        improved = col_min < t_ref[row]
-        if any_hit:
-            # occlusion query: any hit collapses the lane's t to tmin, so
-            # every later box/tri test fails for it and the tile stops as
-            # soon as t_cap == min(tmin)
-            t_ref[row] = jnp.where(improved, tmin, t_ref[row])
-            code_ref[row] = jnp.where(improved, 0, code_ref[row])
-        else:
-            sel = (tm == col_min) & ok
-            win = jnp.max(jnp.where(sel, iota_tri, -1), axis=0, keepdims=True)
-            sel2 = sel & (iota_tri == win)
-            u_best = jnp.sum(jnp.where(sel2, u, 0.0), axis=0, keepdims=True)
-            v_best = jnp.sum(jnp.where(sel2, v, 0.0), axis=0, keepdims=True)
-            t_ref[row] = jnp.where(improved, col_min, t_ref[row])
-            code_ref[row] = jnp.where(improved, c * CT + win, code_ref[row])
-            u_ref[row] = jnp.where(improved, u_best, u_ref[row])
-            v_ref[row] = jnp.where(improved, v_best, v_ref[row])
+
+    def exact_near(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, t_fars):
+        """(N, 1) box columns vs all ROWS of rays -> per-box min entry over
+        passing rays, (N, 1); INF where no ray passes."""
+        bx = (_mat(lo_x), _mat(lo_y), _mat(lo_z),
+              _mat(hi_x), _mat(hi_y), _mat(hi_z))
+        best = None
+        for r in range(ROWS):
+            rr = R[r]
+            t0x = (bx[0] - rr["ox"]) * rr["idx"]
+            t1x = (bx[3] - rr["ox"]) * rr["idx"]
+            t0y = (bx[1] - rr["oy"]) * rr["idy"]
+            t1y = (bx[4] - rr["oy"]) * rr["idy"]
+            t0z = (bx[2] - rr["oz"]) * rr["idz"]
+            t1z = (bx[5] - rr["oz"]) * rr["idz"]
+            near = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), rr["tmin"]),
+            )
+            far = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), t_fars[r]),
+            )
+            m = jnp.min(jnp.where(near <= far, near, INF), axis=1,
+                        keepdims=True)
+            best = m if best is None else jnp.minimum(best, m)
+        return best
+
+    # ---- stage 1: exact test against ALL super boxes ----
+    supn_scr[...] = exact_near(
+        sup_ref[:, 0:1], sup_ref[:, 1:2], sup_ref[:, 2:3],
+        sup_ref[:, 3:4], sup_ref[:, 4:5], sup_ref[:, 5:6],
+        [R[r]["tmax"] for r in range(ROWS)],
+    )
+
+    # ---- sweep: one K=4 matmul pair per lane-row, SSA best-hit carry ----
+    iota_tri = jax.lax.broadcasted_iota(jnp.int32, (ct, LANES), 0)
+
+    def sweep(slot, c, state):
+        w = wscr[slot, 0:4, :]                   # (4, 3*CT)
+        wh, wl = _split(w)
+        out = []
+        for r in range(ROWS):
+            bt_val, bc_val = state[r]
+            rr = R[r]
+            # HIGHEST: the MXU multiplies in bf16 passes by default, which
+            # is catastrophic for Woop plane equations; the multi-pass f32
+            # decomposition keeps winner selection fp32-accurate
+            # 3-pass bf16-split f32 matmuls: hi@hi + (hi@lo + lo@hi).
+            # Plain DEFAULT rounds both operands to bf16 (t errors ~0.4%,
+            # wrong winners near ties); HIGHEST is exact but 6 passes and
+            # measured 2-3x whole-kernel cost. The split gives ~2^-21
+            # relative error at half HIGHEST's passes; hi parts are
+            # bf16-representable so DEFAULT multiplies them losslessly.
+            def mm(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            P = mm(wh, rr["o4h"]) + (mm(wh, rr["o4l"]) + mm(wl, rr["o4h"]))
+            Q = mm(wh, rr["d4h"]) + (mm(wh, rr["d4l"]) + mm(wl, rr["d4h"]))
+            w0 = P[2 * ct:3 * ct, :]
+            wd = Q[2 * ct:3 * ct, :]
+            wd = jnp.where(jnp.abs(wd) < 1e-20, 1e-20, wd)
+            t = -w0 / wd
+            ok = (t > rr["tmin"]) & (t < bt_val)
+            u = P[0:ct, :] + t * Q[0:ct, :]
+            v = P[ct:2 * ct, :] + t * Q[ct:2 * ct, :]
+            ok = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            if any_hit:
+                anyh = jnp.min(jnp.where(ok, 0.0, INF), axis=0,
+                               keepdims=True) < 1.0
+                out.append((jnp.where(anyh, rr["tmin"], bt_val),
+                            jnp.where(anyh, 0.0, bc_val)))
+                continue
+            key = pltpu.bitcast(
+                (pltpu.bitcast(t, jnp.int32) & ~id_mask) | iota_tri,
+                jnp.float32)
+            tm = jnp.where(ok, key, INF)
+            col_min = jnp.min(tm, axis=0, keepdims=True)
+            improved = col_min < bt_val
+            out.append((jnp.where(improved, col_min, bt_val),
+                        jnp.where(improved, c.astype(jnp.float32), bc_val)))
+        return tuple(out)
 
     def _dma(slot, c):
         return pltpu.make_async_copy(wmat_hbm.at[c], wscr.at[slot],
                                      sem.at[slot])
 
-    def process_super(s):
-        # interval test of this super's SUPER_WAY cluster boxes (vectorized)
-        lo = (scb_ref[s, 0, :].reshape(1, SUPER_WAY),
-              scb_ref[s, 1, :].reshape(1, SUPER_WAY),
-              scb_ref[s, 2, :].reshape(1, SUPER_WAY))
-        hi = (scb_ref[s, 3, :].reshape(1, SUPER_WAY),
-              scb_ref[s, 4, :].reshape(1, SUPER_WAY),
-              scb_ref[s, 5, :].reshape(1, SUPER_WAY))
-        near, far = _interval_near_far(lo, hi, bounds)
-        near_scr[...] = jnp.where(near <= far, near, INF).reshape(SUPER_WAY, 1)
-
-        t_cap = tcap_ref[0]
-        nq_ref[0] = 0
-
-        def gather(j, _):
-            @pl.when(near_scr[j, 0] < t_cap)
-            def _():
-                # exact any-lane slab test before paying the DMA + sweep
-                # (cbox is the sublane-major copy: dynamic-sublane scalar
-                # reads lower; dynamic-lane reads of scb would not)
-                c_id = s * SUPER_WAY + j
-                clo = (cbox_ref[c_id, 0], cbox_ref[c_id, 1], cbox_ref[c_id, 2])
-                chi = (cbox_ref[c_id, 3], cbox_ref[c_id, 4], cbox_ref[c_id, 5])
-                t0x = (clo[0] - ox) * idx
-                t1x = (chi[0] - ox) * idx
-                t0y = (clo[1] - oy) * idy
-                t1y = (chi[1] - oy) * idy
-                t0z = (clo[2] - oz) * idz
-                t1z = (chi[2] - oz) * idz
-                near_e = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                    jnp.maximum(jnp.minimum(t0z, t1z), tmin),
-                )
-                far_e = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                    jnp.minimum(jnp.maximum(t0z, t1z), t_ref[row]),
-                )
-
-                @pl.when(jnp.any(near_e <= far_e))
-                def _():
-                    n = nq_ref[0]
-                    queue[n] = s * SUPER_WAY + j
-                    nq_ref[0] = n + 1
-
-            return 0
-
-        jax.lax.fori_loop(0, SUPER_WAY, gather, 0)
+    def drain_queue():
+        """Sweep every queued cluster through a RING-deep DMA pipeline.
+        Best-hit state: bt/bc scratch tiles at the boundaries, SSA values
+        inside (refs RMW'd per sweep deoptimize; state threaded through the
+        outer super loop's conditionals spills 16 vregs per super)."""
         n_q = nq_ref[0]
 
-        # double-buffered DMA over the queue: the next cluster's 12 KB burst
-        # overlaps the current cluster's MXU sweep
+        ctr[0] = ctr[0] + n_q
+
         @pl.when(n_q > 0)
         def _():
-            _dma(0, queue[0]).start()
-
-            def body(i, _):
-                even = jax.lax.rem(i, 2) == 0
-
-                @pl.when(i + 1 < n_q)
+            state = tuple(
+                (bt_scr[r:r + 1, :], bc_scr[r:r + 1, :]) for r in range(ROWS)
+            )
+            def warm(i, _):
+                @pl.when(i < n_q)
                 def _():
-                    c_next = queue[i + 1]
-
-                    @pl.when(even)
-                    def _():
-                        _dma(1, c_next).start()
-
-                    @pl.when(~even)
-                    def _():
-                        _dma(0, c_next).start()
-
-                c = queue[i]
-
-                @pl.when(even)
-                def _():
-                    _dma(0, c).wait()
-                    sweep(0, c)
-
-                @pl.when(~even)
-                def _():
-                    _dma(1, c).wait()
-                    sweep(1, c)
+                    _dma(i, queue[i]).start()
 
                 return 0
 
-            jax.lax.fori_loop(0, n_q, body, 0)
-            tcap_ref[0] = jnp.max(t_ref[row])
+            jax.lax.fori_loop(0, RING, warm, 0)
 
-    # ---- ordered main loop over surviving supers ----
+            def body(i, st):
+                slot = jax.lax.rem(i, RING)
+                _dma(slot, queue[i]).wait()
+
+                # refresh t_cap every RING/2 sweeps (a scalar readback after
+                # EVERY sweep stalls the scalar core on the VPU result)
+                @pl.when(jax.lax.rem(i, RING // 2) == RING // 2 - 1)
+                def _():
+                    cap = st[0][0]
+                    for r in range(1, ROWS):
+                        cap = jnp.maximum(cap, st[r][0])
+                    tcap_ref[0] = jnp.max(cap)
+
+                do_it = qnear[i] < tcap_ref[0]
+                ctr[1] = ctr[1] + do_it.astype(jnp.int32)
+                st = jax.lax.cond(
+                    do_it,
+                    lambda: sweep(slot, queue[i], st),
+                    lambda: st,
+                )
+
+                @pl.when(i + RING < n_q)
+                def _():
+                    _dma(slot, queue[i + RING]).start()
+
+                return st
+
+            state = jax.lax.fori_loop(0, n_q, body, state)
+            bt_scr[...] = jnp.concatenate(
+                [state[r][0] for r in range(ROWS)], axis=0)
+            bc_scr[...] = jnp.concatenate(
+                [state[r][1] for r in range(ROWS)], axis=0)
+
+        nq_ref[0] = 0
+
+    def process_super(s):
+        base = s * SUPER_WAY
+        win = cbox_ref[pl.ds(base, SUPER_WAY), :]
+        near_col = exact_near(
+            win[:, 0:1], win[:, 1:2], win[:, 2:3],
+            win[:, 3:4], win[:, 4:5], win[:, 5:6],
+            [R[r]["tmax"] for r in range(ROWS)],
+        )
+        near_scr[...] = near_col
+        t_cap = tcap_ref[0]
+
+        # branchless gather (a conditional append costs ~100 scalar cycles
+        # per iteration; the unconditional store + predicated increment ~15)
+        def gather(j, n):
+            nr = near_scr[j, 0]
+            take = nr < t_cap
+            queue[n] = base + j
+            qnear[n] = nr
+            return n + take.astype(jnp.int32)
+
+        nq_ref[0] = jax.lax.fori_loop(0, SUPER_WAY, gather, nq_ref[0])
+        ctr[2] = ctr[2] + 1
+
+    # ---- near-ordered surviving-super list via a branchless single-pass
+    # bucket (counting) sort: processing supers nearest-first lets t_cap
+    # collapse after the first drains, which prunes the far supers — in
+    # Morton order a primary block swept ~500 clusters before its first
+    # hit tightened anything. All loops are branchless (conditional bodies
+    # cost ~100 scalar cycles/iteration; predicated arithmetic ~15).
+    t_base = jnp.min(rays_ref[:, 6, :])
+    inv_bucket = jnp.float32(N_BUCKETS) / jnp.maximum(
+        tcap_ref[0] - t_base, 1e-6)
+
+    def zero_b(b, _):
+        bkt_n[b] = 0
+        return 0
+
+    jax.lax.fori_loop(0, N_BUCKETS, zero_b, 0)
+
+    def bucket_count(sx, _):
+        ns = supn_scr[sx, 0]
+        take = (ns < INF).astype(jnp.int32)
+        b = jnp.clip((ns - t_base) * inv_bucket, 0,
+                     N_BUCKETS - 1).astype(jnp.int32)
+        bkt_n[b] = bkt_n[b] + take
+        return 0
+
+    jax.lax.fori_loop(0, n_super, bucket_count, 0)
+
+    def prefix(b, acc):
+        n = bkt_n[b]
+        bkt_n[b] = acc
+        return acc + n
+
+    n_sur = jax.lax.fori_loop(0, N_BUCKETS, prefix, jnp.int32(0))
+
+    def scatter_sorted(sx, _):
+        ns = supn_scr[sx, 0]
+        take = (ns < INF).astype(jnp.int32)
+        b = jnp.clip((ns - t_base) * inv_bucket, 0,
+                     N_BUCKETS - 1).astype(jnp.int32)
+        k = bkt_n[b]
+        ord_id[k] = sx
+        ord_near[k] = ns
+        bkt_n[b] = k + take
+        return 0
+
+    jax.lax.fori_loop(0, n_super, scatter_sorted, 0)
+
+    # ---- main loop over near-ordered supers; drain when the queue nears
+    # capacity ----
+    nq_ref[0] = 0
+    bt_scr[...] = rays_ref[:, 7, :]              # per-row tmax
+    bc_scr[...] = jnp.full((ROWS, LANES), -1.0, jnp.float32)
+
     def super_loop(k, _):
         @pl.when(ord_near[k] < tcap_ref[0])
         def _():
             process_super(ord_id[k])
 
+        @pl.when(nq_ref[0] > QMAX - SUPER_WAY)
+        def _():
+            drain_queue()
+
         return 0
 
     jax.lax.fori_loop(0, n_sur, super_loop, 0)
+    drain_queue()
 
-    # overflow beyond the ordered-list capacity: rare (MAX_ORD supers =
-    # 4096+ clusters touched by one 128-ray tile); process in scan order
-    @pl.when(n_sur >= MAX_ORD)
-    def _():
-        def extra(s, _):
-            @pl.when((supn_scr[s, 0] < tcap_ref[0])
-                     & (supn_scr[s, 0] < INF))
-            def _():
-                def seen(k, acc):
-                    return acc | (ord_id[k] == s)
-
-                already = jax.lax.fori_loop(0, n_sur, seen, False)
-
-                @pl.when(~already)
-                def _():
-                    process_super(s)
-
-            return 0
-
-        jax.lax.fori_loop(0, n_super, extra, 0)
-
-    return 0
+    t_ref[...] = bt_scr[...]
+    code_ref[...] = bc_scr[...].astype(jnp.int32)
+    dbg_ref[...] = jnp.concatenate([
+        jnp.full((1, LANES), ctr[0], jnp.float32),
+        jnp.full((1, LANES), ctr[1], jnp.float32),
+        jnp.full((1, LANES), ctr[2], jnp.float32),
+        jnp.full((ROWS - 3, LANES), 0.0, jnp.float32)], axis=0)
 
 
 def _coherence_key(lo, hi, o, d):
-    """Sort key restoring tile coherence for incoherent (bounce) batches:
-    direction octant (high bits) then 6-bit-per-axis Morton code of the
-    origin. The kernel's any-lane pruning only pays off when a tile's rays
-    agree on which boxes they can touch — the CUDA reference gets this from
-    warp-coherent persistent threads; here a batch sort does the same job."""
+    """Sort key restoring tile coherence for incoherent batches: 5-bit-per-
+    axis Morton code of the origin (high 15 bits) then 5-bit-per-axis Morton
+    code of the DIRECTION (low 15 bits). The kernel's any-lane pruning only
+    pays off when a tile's rays agree on which boxes they can touch — the
+    CUDA reference gets this from warp-coherent persistent threads; here a
+    batch sort does the same job.
+
+    Round-3 lesson: an earlier key used only the direction OCTANT (3 bits).
+    Camera batches share one origin, so 1M primary rays collapsed onto <= 8
+    distinct keys and "tiles" became random image-wide mixes — primary rays
+    traced no faster than fully random ones. Fine direction bits give
+    single-origin batches image-tile locality."""
     q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
-    qi = (q * 63.0).astype(jnp.uint32)                       # 6 bits/axis
+    qi = (q * 31.0).astype(jnp.uint32)                       # 5 bits/axis
+    dq = jnp.clip((d + 1.0) * 0.5 * 31.0, 0.0, 31.0).astype(jnp.uint32)
 
     def spread(x):  # canonical 3-D Morton bit spread (<=10-bit inputs)
         x = (x | (x << 16)) & jnp.uint32(0x30000FF)
@@ -371,11 +384,9 @@ def _coherence_key(lo, hi, o, d):
         x = (x | (x << 2)) & jnp.uint32(0x9249249)
         return x
 
-    morton = spread(qi[:, 0]) | (spread(qi[:, 1]) << 1) | (spread(qi[:, 2]) << 2)
-    octant = ((d[:, 0] > 0).astype(jnp.uint32)
-              | ((d[:, 1] > 0).astype(jnp.uint32) << 1)
-              | ((d[:, 2] > 0).astype(jnp.uint32) << 2))
-    return (octant << jnp.uint32(18)) | morton
+    m_o = spread(qi[:, 0]) | (spread(qi[:, 1]) << 1) | (spread(qi[:, 2]) << 2)
+    m_d = spread(dq[:, 0]) | (spread(dq[:, 1]) << 1) | (spread(dq[:, 2]) << 2)
+    return (m_o << jnp.uint32(15)) | m_d
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "sort_rays"))
@@ -389,14 +400,18 @@ def intersect_clusters(cs: ClusterScene, o, d, t_min=1e-4, t_max=1e30,
         inv_order = jnp.argsort(order)
         tmin_s = t_min[order] if jnp.ndim(t_min) > 0 else t_min
         tmax_s = t_max[order] if jnp.ndim(t_max) > 0 else t_max
-        hit = intersect_clusters(cs, o[order], d[order], tmin_s, tmax_s,
+        res = intersect_clusters(cs, o[order], d[order], tmin_s, tmax_s,
                                  any_hit=any_hit, sort_rays=False)
-        return Hit(t=hit.t[inv_order], prim=hit.prim[inv_order],
-                   bary=hit.bary[inv_order], valid=hit.valid[inv_order])
+        hit, dbgv = (res, None) if isinstance(res, Hit) else res
+        hit = Hit(t=hit.t[inv_order], prim=hit.prim[inv_order],
+                  bary=hit.bary[inv_order], valid=hit.valid[inv_order])
+        return hit if dbgv is None else (hit, dbgv)
     B = o.shape[0]
-    n_super = cs.scb.shape[0]
-    ns_pad = cs.super_cm.shape[1]
-    pad = (-B) % (LANES * 8)
+    n_super = cs.cbox.shape[0] // SUPER_WAY
+    ns_pad = cs.supT.shape[0]
+    ct = cs.wmat.shape[2] // 3
+    assert ct <= (1 << TRI_BITS)
+    pad = (-B) % (LANES * ROWS)
     Bp = B + pad
 
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (B,))
@@ -415,57 +430,84 @@ def intersect_clusters(cs: ClusterScene, o, d, t_min=1e-4, t_max=1e30,
     rays = jnp.stack([jnp.pad(c, (0, pad)) for c in comps])
     rays = rays.reshape(8, Bp // LANES, LANES).transpose(1, 0, 2)
 
-    grid = Bp // (LANES * 8)
-    kernel = functools.partial(_cluster_kernel, n_super=n_super,
-                               ns_pad=ns_pad, any_hit=any_hit)
+    grid = Bp // (LANES * ROWS)
+    kernel = functools.partial(_cluster_kernel, n_super=n_super, ct=ct,
+                               any_hit=any_hit)
     oshape = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.float32)
     oshape_i = jax.ShapeDtypeStruct((Bp // LANES, LANES), jnp.int32)
-    ospec = pl.BlockSpec((8, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
 
-    t, code, u, v = pl.pallas_call(
+    t, code, dbg = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((8, ns_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_super, 8, SUPER_WAY), lambda i: (0, 0, 0),
+            pl.BlockSpec((ns_pad, 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cs.cbox.shape[0], 8), lambda i: (0, 0),
+            pl.BlockSpec((ROWS, 8, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 8, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((cs.cbox.shape[0], 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # wmat stays in HBM
         ],
-        out_specs=[ospec, ospec, ospec, ospec],
-        out_shape=[oshape, oshape_i, oshape, oshape],
+        out_specs=[ospec, ospec, ospec],
+        out_shape=[oshape, oshape_i, oshape],
         scratch_shapes=[
-            pltpu.VMEM((2, 8, 3 * CT), jnp.float32),     # wscr
+            pltpu.VMEM((RING, 8, 3 * ct), jnp.float32),  # wscr
             pltpu.VMEM((SUPER_WAY, 1), jnp.float32),     # near_scr
             pltpu.VMEM((ns_pad, 1), jnp.float32),        # supn_scr
-            pltpu.SMEM((16,), jnp.float32),              # bounds
-            pltpu.SMEM((MAX_ORD,), jnp.int32),           # ord_id
-            pltpu.SMEM((MAX_ORD,), jnp.float32),         # ord_near
-            pltpu.SMEM((1,), jnp.int32),                 # n_ord
-            pltpu.SMEM((SUPER_WAY,), jnp.int32),         # queue
+            pltpu.SMEM((QMAX,), jnp.int32),              # queue
+            pltpu.SMEM((QMAX,), jnp.float32),            # qnear
             pltpu.SMEM((1,), jnp.int32),                 # nq
             pltpu.SMEM((1,), jnp.float32),               # tcap
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((ROWS, LANES), jnp.float32),      # bt_scr
+            pltpu.VMEM((ROWS, LANES), jnp.float32),      # bc_scr
+            pltpu.SMEM((MAX_ORD,), jnp.int32),           # ord_id
+            pltpu.SMEM((MAX_ORD,), jnp.float32),         # ord_near
+            pltpu.SMEM((N_BUCKETS,), jnp.int32),         # bkt_n
+            pltpu.SMEM((4,), jnp.int32),                 # ctr (debug)
+            pltpu.SemaphoreType.DMA((RING,)),            # sem (wmat)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(100e6),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * 4 * 3 * CT * 20 * Bp,  # ~20 clusters/tile heuristic
+            flops=2 * 2 * 4 * 3 * ct * 20 * Bp,  # ~20 clusters/tile heuristic
             bytes_accessed=Bp * 48 + int(cs.wmat.size) * 4,
             transcendentals=0,
         ),
-    )(cs.super_cm, cs.scb, cs.cbox, rays, cs.wmat)
+    )(cs.supT, rays, cs.cbox, cs.wmat)
 
+    import os as _os
+    _dbg_mode = bool(_os.environ.get("CT_DEBUG_COUNTS"))
     t = t.reshape(-1)[:B]
-    code = code.reshape(-1)[:B]
-    u = u.reshape(-1)[:B]
-    v = v.reshape(-1)[:B]
-    valid = code >= 0
-    prim = jnp.where(
-        valid, cs.prim.reshape(-1)[jnp.maximum(code, 0)], -1
-    )
-    return Hit(t=t, prim=prim, bary=jnp.stack([u, v], -1), valid=valid)
+    cluster = code.reshape(-1)[:B]
+    valid = cluster >= 0
+    if any_hit:
+        return Hit(t=t, prim=jnp.where(valid, 0, -1),
+                   bary=jnp.zeros((B, 2), jnp.float32), valid=valid)
+    # decode (cluster, local tri) from the tagged t-key and recompute the
+    # EXACT t/u/v from the winner's Woop rows (12 per-component takes — the
+    # in-kernel t is quantized to ~2^-13 relative by the id tag, and the
+    # MXU path is a 6-pass f32 approximation; this recompute also upgrades
+    # precision to exact fp32)
+    local = jax.lax.bitcast_convert_type(t, jnp.int32) & ((1 << TRI_BITS) - 1)
+    c_safe = jnp.maximum(cluster, 0)
+    code_full = c_safe * ct + jnp.where(valid, local, 0)
+    prim = jnp.where(valid, cs.prim.reshape(-1)[code_full], -1)
+    wflat = cs.wmat.reshape(-1)
+    base = c_safe * (8 * 3 * ct) + jnp.where(valid, local, 0)
+    rows = jnp.stack(
+        [jnp.take(wflat, base + k * (3 * ct) + r * ct, axis=0)
+         for r in range(3) for k in range(4)], axis=-1,
+    )  # (B, 12) = [r0(4), r1(4), r2(4)]
+    from ..accel.traversal import intersect_woop
+
+    te, ue, ve, _ = intersect_woop(rows, o, d, -jnp.inf, jnp.inf)
+    t_out = jnp.where(valid, te, t)
+    hit = Hit(t=t_out, prim=prim,
+              bary=jnp.stack([jnp.where(valid, ue, 0.0),
+                              jnp.where(valid, ve, 0.0)], -1), valid=valid)
+    if _dbg_mode:
+        return hit, dbg.reshape(-1, ROWS, LANES)[:, 0:3, 0]
+    return hit

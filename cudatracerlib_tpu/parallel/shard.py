@@ -192,12 +192,9 @@ def make_sharded_ppm(mesh: Mesh, width: int, height: int, spp: int,
         # per-pass power normalization already divided by the LOCAL count;
         # rescale to the global photon count
         pm = pm._replace(power=pm.power / n_dev)
-        grid = hashgrid.build_grid(
-            pm.p, scene.bvh.world_min - 1e-3, scene.bvh.world_max + 1e-3,
-            res=config.grid_res, valid=pm.valid,
-        )
+        grids = ppm_mod.build_photon_grids(scene, pm, config)
         film = ppm_mod.ppm_eye_pass(
-            scene, pm, grid, pid.reshape(-1), sid.reshape(-1), seed, radius,
+            scene, pm, grids, pid.reshape(-1), sid.reshape(-1), seed, radius,
             width, height, config,
         )
         rgb = jax.lax.psum(jax.lax.psum(film.rgb, "dp"), "sp")

@@ -44,6 +44,10 @@ class PhotonMap(NamedTuple):
     wi: jnp.ndarray       # (P, 3) incoming direction (toward the light path)
     n: jnp.ndarray        # (P, 3) surface normal at deposit
     valid: jnp.ndarray    # (P,) bool
+    caustic: jnp.ndarray  # (P,) bool — every bounce before the deposit was
+                          # specular (reference m_sSurfaceMapCaustic,
+                          # PPPMTracer.h:152 + specular-only store,
+                          # PPPMTracer_PhotonPass.cu:27,63)
 
 
 def trace_photons(scene: Scene, n_photons: int, seed, config: PTConfig,
@@ -67,9 +71,11 @@ def trace_photons(scene: Scene, n_photons: int, seed, config: PTConfig,
         d: jnp.ndarray
         w: jnp.ndarray
         alive: jnp.ndarray
+        spec_chain: jnp.ndarray  # all surface bounces so far were specular
         smp: Sampler
 
-    init = _C(o=o, d=d, w=w, alive=jnp.ones((B,), bool), smp=smp)
+    init = _C(o=o, d=d, w=w, alive=jnp.ones((B,), bool),
+              spec_chain=jnp.ones((B,), bool), smp=smp)
 
     def bounce(c: _C, depth):
         n_rays = jnp.sum(c.alive.astype(jnp.float32))
@@ -80,7 +86,10 @@ def trace_photons(scene: Scene, n_photons: int, seed, config: PTConfig,
 
         # deposit at non-delta surfaces; first-bounce (direct) photons are
         # excluded because the eye pass handles direct lighting via NEE
-        # (prevents double counting; reference splits the same way)
+        # (prevents double counting; reference splits the same way).
+        # A photon is a CAUSTIC photon when every prior bounce was specular
+        # (L S+ D paths) — those go into their own map with a smaller
+        # progressive radius (PPPMTracer_PhotonPass.cu:27,63).
         store = found & bsdf_mod.is_smooth(mp) & (depth > 0)
         photon = (
             it.p,
@@ -88,6 +97,7 @@ def trace_photons(scene: Scene, n_photons: int, seed, config: PTConfig,
             -c.d,
             it.frame.n,
             store,
+            store & c.spec_chain,
         )
 
         # continue: sample BSDF in importance (adjoint) mode
@@ -104,21 +114,23 @@ def trace_photons(scene: Scene, n_photons: int, seed, config: PTConfig,
         )
         cont = found & (bs.pdf > 0) & (u_rr < p_cont)
         w_new = w_new / jnp.maximum(p_cont, 1e-6)[..., None]
+        delta_now = bsdf_mod.is_delta(mp) | ((bs.sampled_type & (16 | 32 | 64)) > 0)
         new = _C(
             o=jnp.where(cont[..., None], _offset_ray(it.p, it.n_geo, wi_world, config.ray_eps), c.o),
             d=jnp.where(cont[..., None], wi_world, c.d),
             w=jnp.where(cont[..., None], w_new, c.w),
             alive=cont,
+            spec_chain=c.spec_chain & delta_now,
             smp=s,
         )
         return new, (photon, n_rays)
 
     _, (photons, n_rays) = jax.lax.scan(bounce, init, jnp.arange(config.max_depth))
-    p, power, wi, n, valid = photons  # each (depth, B, ...)
+    p, power, wi, n, valid, caustic = photons  # each (depth, B, ...)
     flat = lambda x: x.reshape((-1,) + x.shape[2:])
     pm = PhotonMap(
         p=flat(p), power=flat(power) / n_photons, wi=flat(wi), n=flat(n),
-        valid=flat(valid),
+        valid=flat(valid), caustic=flat(caustic),
     )
     if with_stats:
         return pm, jnp.sum(n_rays)
@@ -139,6 +151,13 @@ class PPMConfig(NamedTuple):
     max_gather: int = 128
     grid_res: int = 64
     final_gather: bool = False
+    # separate caustic photon map (PPPMTracer.h:152): L S+ D photons gather
+    # with their own, smaller progressive radius — caustics are sharp, and
+    # sharing the (larger) global radius blurs exactly the feature this
+    # algorithm exists for. scale=1 + caustic_map=False reproduces the
+    # single-map estimator.
+    caustic_map: bool = True
+    caustic_radius_scale: float = 0.4
 
 
 def render_ppm_pass(scene: Scene, width: int, height: int, spp: int, seed,
@@ -160,31 +179,50 @@ def render_ppm_pass(scene: Scene, width: int, height: int, spp: int, seed,
                      radius, config)
 
 
+def build_photon_grids(scene: Scene, pm: PhotonMap, config: PPMConfig):
+    """(global grid, caustic grid | None): caustic photons get their own
+    grid + smaller radius when config.caustic_map (PPPMTracer.h:152)."""
+    lo = scene.bvh.world_min - 1e-3
+    hi = scene.bvh.world_max + 1e-3
+    if not config.caustic_map:
+        return (hashgrid.build_grid(pm.p, lo, hi, res=config.grid_res,
+                                    valid=pm.valid), None)
+    return (
+        hashgrid.build_grid(pm.p, lo, hi, res=config.grid_res,
+                            valid=pm.valid & ~pm.caustic),
+        hashgrid.build_grid(pm.p, lo, hi, res=config.grid_res,
+                            valid=pm.valid & pm.caustic),
+    )
+
+
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
 def _ppm_impl(scene: Scene, width: int, height: int, spp: int, seed, radius,
               config: PPMConfig):
     # ---- photon pass ----
     pm = trace_photons(scene, config.n_photons, seed, config.base)
-    grid = hashgrid.build_grid(
-        pm.p, scene.bvh.world_min - 1e-3, scene.bvh.world_max + 1e-3,
-        res=config.grid_res, valid=pm.valid,
-    )
+    grids = build_photon_grids(scene, pm, config)
 
     n_px = width * height
     pixel_id = jnp.tile(jnp.arange(n_px, dtype=jnp.uint32), spp)
     sample_idx = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n_px)
-    film = ppm_eye_pass(scene, pm, grid, pixel_id, sample_idx, seed, radius,
+    film = ppm_eye_pass(scene, pm, grids, pixel_id, sample_idx, seed, radius,
                         width, height, config)
     return film_mod.develop(film)
 
 
-def ppm_eye_pass(scene: Scene, pm: PhotonMap, grid, pixel_id, sample_idx,
+def ppm_eye_pass(scene: Scene, pm: PhotonMap, grids, pixel_id, sample_idx,
                  seed, radius, width: int, height: int, config: PPMConfig):
     """Eye pass over an arbitrary pixel/sample batch -> Film (unnormalized).
+
+    `grids`: (global grid, caustic grid | None) from build_photon_grids —
+    the caustic map gathers at radius * caustic_radius_scale, restoring the
+    sharpness the global radius would blur away (the eye-pass caustic
+    estimate of PPPMTracer_EyePass.cu).
 
     Factored out so the multi-chip path (parallel/shard.py) can shard pixels
     while the photon map is the all-gathered union of per-device photon
     passes (BASELINE config 5: sharded light pass)."""
+    grid, grid_caustic = grids if isinstance(grids, tuple) else (grids, None)
     cfg = config.base
     B = pixel_id.shape[0]
     smp = Sampler.create(seed ^ jnp.uint32(0x5EED), pixel_id, sample_idx)
@@ -290,40 +328,51 @@ def ppm_eye_pass(scene: Scene, pm: PhotonMap, grid, pixel_id, sample_idx,
                           0.0)
 
     # ---- photon density estimate (EntryEstimator.h:25-59) ----
-    idx, valid_n = hashgrid.query_sphere(grid, final.gp, radius, config.max_gather)
-    ph_p = pm.p[idx]
-    ph_pow = pm.power[idx]
-    ph_wi = pm.wi[idx]
-    ph_n = pm.n[idx]
-    ph_ok = valid_n & pm.valid[idx] & final.gathered[:, None]
-    d2 = jnp.sum((ph_p - final.gp[:, None, :]) ** 2, axis=-1)
-    in_r = d2 < radius * radius
-    # normal agreement threshold (EntryEstimator normal check)
-    n_ok = jnp.sum(ph_n * final.gn[:, None, :], axis=-1) > 0.7
-    use = ph_ok & in_r & n_ok
-    # BSDF eval f(wo, wi_photon) per photon
-    wo_l = it_g.frame.to_local(final.gwo)[:, None, :]
-    wi_l = jnp.stack(
-        [
-            jnp.einsum("bkc,bc->bk", ph_wi, it_g.frame.s),
-            jnp.einsum("bkc,bc->bk", ph_wi, it_g.frame.t),
-            jnp.einsum("bkc,bc->bk", ph_wi, it_g.frame.n),
-        ],
-        axis=-1,
-    )
-    mp_b = jax.tree.map(lambda a: a[:, None] if a.ndim == 1 else a[:, None, :], mp_g)
-    f_ph, _ = bsdf_mod.eval_bsdf(mp_b, jnp.broadcast_to(wo_l, wi_l.shape), wi_l,
-                                 active=cfg.bsdf_types)
-    # remove the cosine folded into eval (photon estimate needs raw f)
-    cos_i = jnp.abs(wi_l[..., 2])
-    f_raw = f_ph / jnp.maximum(cos_i, 1e-6)[..., None]
-    # Epanechnikov-like kernel weight (Math/Kernel.h)
-    t2 = jnp.clip(d2 / jnp.maximum(radius * radius, 1e-12), 0.0, 1.0)
-    kw = 2.0 * (1.0 - t2) / (PI * radius * radius)  # integrates to 1 on the disk
-    contrib = jnp.sum(
-        jnp.where(use[..., None], f_raw * ph_pow * kw[..., None], 0.0), axis=1
-    )
-    L = L + final.w * contrib
+    def density_estimate(g, sel_valid, r):
+        idx, valid_n = hashgrid.query_sphere(g, final.gp, r, config.max_gather)
+        ph_p = pm.p[idx]
+        ph_pow = pm.power[idx]
+        ph_wi = pm.wi[idx]
+        ph_n = pm.n[idx]
+        ph_ok = valid_n & sel_valid[idx] & final.gathered[:, None]
+        d2 = jnp.sum((ph_p - final.gp[:, None, :]) ** 2, axis=-1)
+        in_r = d2 < r * r
+        # normal agreement threshold (EntryEstimator normal check)
+        n_ok = jnp.sum(ph_n * final.gn[:, None, :], axis=-1) > 0.7
+        use = ph_ok & in_r & n_ok
+        # BSDF eval f(wo, wi_photon) per photon
+        wo_l = it_g.frame.to_local(final.gwo)[:, None, :]
+        wi_l = jnp.stack(
+            [
+                jnp.einsum("bkc,bc->bk", ph_wi, it_g.frame.s),
+                jnp.einsum("bkc,bc->bk", ph_wi, it_g.frame.t),
+                jnp.einsum("bkc,bc->bk", ph_wi, it_g.frame.n),
+            ],
+            axis=-1,
+        )
+        mp_b = jax.tree.map(lambda a: a[:, None] if a.ndim == 1 else a[:, None, :], mp_g)
+        f_ph, _ = bsdf_mod.eval_bsdf(mp_b, jnp.broadcast_to(wo_l, wi_l.shape), wi_l,
+                                     active=cfg.bsdf_types)
+        # remove the cosine folded into eval (photon estimate needs raw f)
+        cos_i = jnp.abs(wi_l[..., 2])
+        f_raw = f_ph / jnp.maximum(cos_i, 1e-6)[..., None]
+        # Epanechnikov-like kernel weight (Math/Kernel.h)
+        t2 = jnp.clip(d2 / jnp.maximum(r * r, 1e-12), 0.0, 1.0)
+        kw = 2.0 * (1.0 - t2) / (PI * r * r)  # integrates to 1 on the disk
+        return jnp.sum(
+            jnp.where(use[..., None], f_raw * ph_pow * kw[..., None], 0.0),
+            axis=1,
+        )
+
+    if grid_caustic is None:
+        L = L + final.w * density_estimate(grid, pm.valid, radius)
+    else:
+        L = L + final.w * density_estimate(grid, pm.valid & ~pm.caustic,
+                                           radius)
+        L = L + final.w * density_estimate(
+            grid_caustic, pm.valid & pm.caustic,
+            radius * config.caustic_radius_scale,
+        )
 
     film = film_mod.Film.create(height, width)
     return film_mod.add_samples(film, pixel_id.astype(jnp.int32), L * w_cam)

@@ -212,7 +212,7 @@ def trace_photons_vol(scene: Scene, media: media_mod.Media, n_photons: int,
     vp, vpow, vwi, vval = vol
     out = (
         PhotonMap(p=flat(sp), power=flat(spow) / n_photons, wi=flat(swi),
-                  n=flat(sn), valid=flat(sval)),
+                  n=flat(sn), valid=flat(sval), caustic=flat(sval) & False),
         VolPhotonMap(p=flat(vp), power=flat(vpow) / n_photons, wi=flat(vwi),
                      valid=flat(vval)),
     )

@@ -456,11 +456,16 @@ def _scene_cache_path(cache_key: str) -> str:
     return os.path.join(d, cache_key + ".npz")
 
 
+_SCENE_CACHE_VERSION = 3.0  # bump when the BVH/cluster array layout changes
+
+
 def _verts_fingerprint(vertices: np.ndarray) -> np.ndarray:
-    """Cheap content check for cache validity: shape + strided samples."""
+    """Cheap content check for cache validity: shape + strided samples +
+    format version."""
     flat = vertices.reshape(-1)
     idx = np.linspace(0, flat.shape[0] - 1, 64).astype(np.int64)
-    return np.concatenate([[np.float32(flat.shape[0])], flat[idx]])
+    return np.concatenate([[np.float32(_SCENE_CACHE_VERSION)],
+                           [np.float32(flat.shape[0])], flat[idx]])
 
 
 def build_scene(
@@ -515,10 +520,9 @@ def build_scene(
                     host = {"nodes": z["nodes"], "woop": z["woop"],
                             "root": int(z["root"]), "order": order,
                             "tris": vertices[order]}
-                    if "cl_super_cm" in z.files:
+                    if "cl_supT" in z.files:
                         clusters = ClusterScene(
-                            super_cm=jnp.asarray(z["cl_super_cm"]),
-                            scb=jnp.asarray(z["cl_scb"]),
+                            supT=jnp.asarray(z["cl_supT"]),
                             cbox=jnp.asarray(z["cl_cbox"]),
                             wmat=jnp.asarray(z["cl_wmat"]),
                             prim=jnp.asarray(z["cl_prim"]),

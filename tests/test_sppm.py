@@ -132,3 +132,58 @@ class TestVolumetricEstimators:
         # photon-based volumetric estimate vs unidirectional volpath: loose
         # statistical agreement (kernel bias + camera-segment-only in-scatter)
         assert rel < 0.3, rel
+
+
+class TestCausticMap:
+    """Separate caustic photon map (PPPMTracer.h:152): L S+ D photons gather
+    at a smaller progressive radius than the global map."""
+
+    def test_split_sharpens_caustic_at_equal_photons(self):
+        import numpy as np
+
+        from cudatracerlib_tpu.render.ppm import PPMConfig, render_ppm_pass
+        from cudatracerlib_tpu.scene.shapes import caustic_scene
+
+        scene = caustic_scene()
+        W = H = 48
+        split_cfg = PPMConfig(n_photons=1 << 15, radius0=0.25,
+                              caustic_map=True, caustic_radius_scale=0.4)
+        single_cfg = split_cfg._replace(caustic_map=False)
+
+        # converged-ish reference: late pass (small radius), both estimators
+        # agree in the limit; average a few seeds of the SINGLE estimator so
+        # the reference is not biased toward the split one
+        ref = np.zeros((H, W, 3), np.float32)
+        for s in range(3):
+            ref += np.asarray(render_ppm_pass(scene, W, H, 1, 50 + s, 40,
+                                              single_cfg)) / 3
+
+        img_split = np.asarray(render_ppm_pass(scene, W, H, 1, 7, 2, split_cfg))
+        img_single = np.asarray(render_ppm_pass(scene, W, H, 1, 7, 2, single_cfg))
+
+        # the caustic lives on the floor (bottom rows of the image): compare
+        # radius-bias against the converged reference there
+        floor = slice(int(0.55 * H), H)
+        lum = lambda a: (0.2126 * a[..., 0] + 0.7152 * a[..., 1]
+                         + 0.0722 * a[..., 2])
+        err_split = float(((lum(img_split) - lum(ref)) ** 2)[floor].mean())
+        err_single = float(((lum(img_single) - lum(ref)) ** 2)[floor].mean())
+        assert err_split < err_single, (err_split, err_single)
+
+    def test_photon_caustic_flags(self):
+        """Caustic photons exist in the caustic scene and all passed through
+        the glass (their chain was specular-only)."""
+        import jax.numpy as jnp
+
+        from cudatracerlib_tpu.render.path_tracer import (PTConfig,
+                                                          specialize_config)
+        from cudatracerlib_tpu.render.ppm import trace_photons
+        from cudatracerlib_tpu.scene.shapes import caustic_scene
+
+        scene = caustic_scene()
+        cfg = specialize_config(scene, PTConfig(max_depth=6, rr_start=2))
+        pm = trace_photons(scene, 1 << 14, jnp.uint32(0), cfg)
+        n_caustic = int(jnp.sum(pm.valid & pm.caustic))
+        n_total = int(jnp.sum(pm.valid))
+        assert n_total > 100
+        assert 0 < n_caustic < n_total
