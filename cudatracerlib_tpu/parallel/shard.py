@@ -52,8 +52,8 @@ def _render_shard(scene: Scene, pixel_id, sample_idx, seed, width, height, confi
     )
     sampler, u_ap = sampler.next_2d()
     o, d, w_cam = sensors.sample_ray(scene.camera, film_uv, u_ap)
-    L, _, n_rays = trace_radiance(scene, o, d, sampler, config,
-                                  with_stats=True)
+    L, _, n_rays, _ = trace_radiance(scene, o, d, sampler, config,
+                                     with_stats=True)
     L = L * w_cam
 
     film = film_mod.Film.create(height, width)
