@@ -155,10 +155,14 @@ def bench_bigscene():
 
 
 def bench_volume():
-    """Config 4: heterogeneous grid volume + HG phase, volumetric PT."""
+    """Config 4: heterogeneous grid volume + HG phase, volumetric PT.
+
+    Uses the host-stepped renderer (render_vol_stepwise): the fused >= 4
+    bounce volpath program deterministically crashes the TPU worker (XLA:TPU
+    fault, bisected round 4 — see volpath.render_vol_stepwise docstring);
+    per-bounce dispatch runs the identical math cleanly."""
     from cudatracerlib_tpu.render.path_tracer import PTConfig, specialize_config
-    from cudatracerlib_tpu.render.volpath import (render_vol_counted,
-                                                  render_vol_progressive)
+    from cudatracerlib_tpu.render.volpath import render_vol_stepwise
     from cudatracerlib_tpu.scene import media as M
     from cudatracerlib_tpu.scene.shapes import cornell_box
 
@@ -183,11 +187,12 @@ def bench_volume():
              density=dens)
     ])
 
-    _, rays1 = render_vol_counted(scene, medium, W, H, spp, 3, cfg)
-    rays = float(rays1) * n_pass
+    _, rays_n = render_vol_stepwise(scene, medium, W, H, spp, n_pass, 3, cfg,
+                                    with_stats=True)
+    rays = float(rays_n)
 
     def run(seed=np.uint32(7)):
-        _sync(render_vol_progressive(scene, medium, W, H, spp, n_pass, seed, cfg))
+        _sync(render_vol_stepwise(scene, medium, W, H, spp, n_pass, seed, cfg))
 
     run(np.uint32(0))
     dt = _timeit(run, label="volume")

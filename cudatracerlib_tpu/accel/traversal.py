@@ -255,6 +255,15 @@ def refine_hit(bvh: BVH, o, d, hit: Hit) -> Hit:
     )
 
 
+def force_intersect_mode() -> str:
+    """CT_FORCE_INTERSECT env override: '' (auto), 'oracle' (XLA while-loop
+    BVH walk), 'dense' (Pallas all-triangles sweep), 'cluster' (Pallas
+    cluster-stream kernel). Used by the TPU fault bisection + smoke gate."""
+    import os
+
+    return os.environ.get("CT_FORCE_INTERSECT", "")
+
+
 def intersect_auto(bvh: BVH, o, d, t_min=1e-4, t_max=jnp.inf, any_hit: bool = False):
     """Pick the fastest correct intersector for scene size + backend (static).
 
@@ -264,7 +273,15 @@ def intersect_auto(bvh: BVH, o, d, t_min=1e-4, t_max=jnp.inf, any_hit: bool = Fa
     platform = jax.devices()[0].platform
     sg = jax.lax.stop_gradient
     o_r, d_r, bvh_r = sg(o), sg(d), sg(bvh)
-    if bvh.woop.shape[0] <= DENSE_MAX_TRIS and platform not in ("cpu",):
+    mode = force_intersect_mode()
+    if mode == "brute":
+        return intersect_brute_force(bvh_r, o_r, d_r, sg(t_min), sg(t_max))
+    if mode == "oracle":
+        raw = intersect(bvh_r, o_r, d_r, sg(t_min), sg(t_max), any_hit=any_hit)
+        return raw if any_hit else refine_hit(bvh, o, d, raw)
+    if (mode == "dense" or
+            (not mode and bvh.woop.shape[0] <= DENSE_MAX_TRIS
+             and platform not in ("cpu",))):
         from ..ops.intersect_pallas import intersect_dense
 
         raw = intersect_dense(bvh_r, o_r, d_r, sg(t_min),

@@ -62,6 +62,10 @@ class PTConfig(NamedTuple):
     # reshape-sum path), 1=gaussian, 2=mitchell, 3=lanczos, 4=triangle
     rec_filter: int = 0
     rec_radius: float = 1.5
+    # static per-volume media specialization (media.static_modes tuple) —
+    # set host-side by volpath's public entry points; hashable so the jit
+    # cache keys on it like the other specialization fields
+    media_modes: tuple | None = None
 
 
 def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:

@@ -41,22 +41,11 @@ class _VCarry(NamedTuple):
     n_rays: jnp.ndarray
 
 
-def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
-                       sampler: Sampler, config: PTConfig,
-                       with_stats: bool = False):
-    B = o.shape[0]
-    init = _VCarry(
-        o=o, d=d,
-        throughput=jnp.ones((B, 3), jnp.float32),
-        L=jnp.zeros((B, 3), jnp.float32),
-        active=jnp.ones((B,), bool),
-        sampler=sampler,
-        prev_pdf=jnp.zeros((B,), jnp.float32),
-        prev_delta=jnp.ones((B,), bool),
-        n_rays=jnp.zeros((), jnp.float32),
-    )
-
-    def bounce(carry: _VCarry, depth):
+def vol_bounce(scene: Scene, media: media_mod.Media, config: PTConfig,
+               carry: _VCarry, depth) -> _VCarry:
+        """One volumetric bounce (module-level so diagnostics can drive the
+        loop one dispatch at a time; trace_radiance_vol scans over it)."""
+        B = carry.o.shape[0]
         s = carry.sampler
         hit = scene_mod.scene_intersect(scene, carry.o, carry.d)
         it = make_interaction(scene, carry.o, carry.d, hit)
@@ -65,7 +54,8 @@ def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
 
         # ---- medium event along [eps, t_surf] ----
         s, t_m, scat, w_med, vid, p_scat, v_emit = media_mod.sample_distance(
-            media, carry.o, carry.d, config.ray_eps, t_surf, s
+            media, carry.o, carry.d, config.ray_eps, t_surf, s,
+            modes=config.media_modes,
         )
         throughput = carry.throughput * jnp.where(carry.active[..., None], w_med, 1.0)
         medium_event = carry.active & scat
@@ -125,7 +115,8 @@ def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
                 scene, sh_o, ds.d, config.ray_eps, ds.dist - 2.0 * config.ray_eps
             )
             tr_shadow = media_mod.transmittance(
-                media, sh_o, ds.d, config.ray_eps, ds.dist - 2.0 * config.ray_eps
+                media, sh_o, ds.d, config.ray_eps,
+                ds.dist - 2.0 * config.ray_eps, config.media_modes,
             )
             is_delta_l = ds.measure == 2
             pdf_l = jnp.where(is_delta_l, 1.0, jax.lax.stop_gradient(ds.pdf)) * lpmf
@@ -178,17 +169,46 @@ def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
             prev_delta=jnp.where(cont, delta_now, carry.prev_delta),
             n_rays=carry.n_rays
             + jnp.sum(carry.active.astype(jnp.float32)) + n_shadow,
-        ), None
+        )
+
+
+def init_vol_carry(o, d, sampler: Sampler) -> _VCarry:
+    B = o.shape[0]
+    return _VCarry(
+        o=o, d=d,
+        throughput=jnp.ones((B, 3), jnp.float32),
+        L=jnp.zeros((B, 3), jnp.float32),
+        active=jnp.ones((B,), bool),
+        sampler=sampler,
+        prev_pdf=jnp.zeros((B,), jnp.float32),
+        prev_delta=jnp.ones((B,), bool),
+        n_rays=jnp.zeros((), jnp.float32),
+    )
+
+
+def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
+                       sampler: Sampler, config: PTConfig,
+                       with_stats: bool = False):
+    init = init_vol_carry(o, d, sampler)
+
+    def bounce(carry: _VCarry, depth):
+        return vol_bounce(scene, media, config, carry, depth), None
 
     body = jax.checkpoint(bounce, prevent_cse=False) if config.remat else bounce
-    final, _ = jax.lax.scan(body, init, jnp.arange(config.max_depth))
+    # CT_UNROLL_BOUNCES: unroll the bounce loop (round-4 TPU fault
+    # workaround knob — see media.py CT_TRACK_SCAN note)
+    import os as _os
+
+    _unroll = int(_os.environ.get("CT_UNROLL_BOUNCES", "1"))
+    final, _ = jax.lax.scan(body, init, jnp.arange(config.max_depth),
+                            unroll=max(1, _unroll))
     if with_stats:
         return final.L, final.sampler, final.n_rays
     return final.L, final.sampler
 
 
-def _render_vol_body(scene, media, width, height, spp, seed, config,
-                     with_stats):
+def _camera_batch(scene, width, height, spp, seed):
+    """Camera-ray batch for one pass: (pixel_id, o, d, w_cam, sampler)."""
     n_px = width * height
     pixel_id = jnp.tile(jnp.arange(n_px, dtype=jnp.uint32), spp)
     sample_idx = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n_px)
@@ -199,6 +219,13 @@ def _render_vol_body(scene, media, width, height, spp, seed, config,
     film_uv = jnp.stack([(px + jitter[:, 0]) / width, (py + jitter[:, 1]) / height], -1)
     sampler, u_ap = sampler.next_2d()
     o, d, w_cam = sensors.sample_ray(scene.camera, film_uv, u_ap)
+    return pixel_id, o, d, w_cam, sampler
+
+
+def _render_vol_body(scene, media, width, height, spp, seed, config,
+                     with_stats):
+    pixel_id, o, d, w_cam, sampler = _camera_batch(scene, width, height, spp,
+                                                   seed)
     out = trace_radiance_vol(scene, media, o, d, sampler, config,
                              with_stats=with_stats)
     film = film_mod.Film.create(height, width)
@@ -209,27 +236,108 @@ def _render_vol_body(scene, media, width, height, spp, seed, config,
     return img
 
 
+def specialize_media_config(media: media_mod.Media,
+                            config: PTConfig) -> PTConfig:
+    """Fill config.media_modes from a CONCRETE media pytree (host side)."""
+    if config.media_modes is not None:
+        return config
+    return config._replace(media_modes=media_mod.static_modes(media))
+
+
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
-def render_vol(scene: Scene, media: media_mod.Media, width: int, height: int,
-               spp: int, seed, config: PTConfig = PTConfig()):
+def _render_vol_impl(scene: Scene, media, width: int, height: int,
+                     spp: int, seed, config: PTConfig):
     return _render_vol_body(scene, media, width, height, spp, seed, config,
                             False)
 
 
+def render_vol(scene: Scene, media: media_mod.Media, width: int, height: int,
+               spp: int, seed, config: PTConfig = PTConfig()):
+    config = specialize_media_config(media, config)
+    return _render_vol_impl(scene, media, width, height, spp, seed, config)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
-def render_vol_counted(scene: Scene, media: media_mod.Media, width: int,
-                       height: int, spp: int, seed,
-                       config: PTConfig = PTConfig()):
-    """(image, rays actually traced) — see trace_radiance with_stats."""
+def _render_vol_counted_impl(scene: Scene, media, width: int, height: int,
+                             spp: int, seed, config: PTConfig):
     return _render_vol_body(scene, media, width, height, spp, seed, config,
                             True)
 
 
-@partial(jax.jit,
-         static_argnames=("width", "height", "spp", "n_passes", "config"))
+def render_vol_counted(scene: Scene, media: media_mod.Media, width: int,
+                       height: int, spp: int, seed,
+                       config: PTConfig = PTConfig()):
+    """(image, rays actually traced) — see trace_radiance with_stats."""
+    config = specialize_media_config(media, config)
+    return _render_vol_counted_impl(scene, media, width, height, spp, seed,
+                                    config)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
+def _vol_pass_setup(scene: Scene, media, width: int, height: int, spp: int,
+                    seed, config: PTConfig):
+    pixel_id, o, d, w_cam, sampler = _camera_batch(scene, width, height, spp,
+                                                   seed)
+    return pixel_id, w_cam, init_vol_carry(o, d, sampler)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _vol_step(scene: Scene, media, config: PTConfig, carry, depth):
+    return vol_bounce(scene, media, config, carry, depth)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def _vol_accumulate(acc, pixel_id, w_cam, L, width: int, height: int):
+    film = film_mod.Film.create(height, width)
+    film = film_mod.add_samples(film, pixel_id.astype(jnp.int32), L * w_cam)
+    return acc + film_mod.develop(film)
+
+
+def render_vol_stepwise(scene: Scene, media: media_mod.Media, width: int,
+                        height: int, spp: int, n_passes: int, seed,
+                        config: PTConfig = PTConfig(),
+                        with_stats: bool = False):
+    """Host-stepped volumetric renderer: ONE jit dispatch per bounce.
+
+    Round-4 workaround of record for an XLA:TPU fault: the fused volpath
+    program (grid media + bounce scan) crashes the TPU worker whenever >= 4
+    bounces compile into one program — with the Pallas kernel, the XLA oracle
+    traversal, or even a brute-force intersector; looped or fully unrolled —
+    while the identical per-bounce programs dispatched separately run
+    cleanly (see .scratch/vol_bisect.py). Numerics match render_vol*
+    bitwise on CPU (same bounce body, same sampler stream); only the
+    dispatch granularity differs. ~6 dispatches/pass of host overhead.
+    """
+    config = specialize_media_config(media, config)
+    acc = jnp.zeros((height, width, 3), jnp.float32)
+    n_rays = jnp.zeros((), jnp.float32)
+    seed = jnp.uint32(seed)
+    for p in range(n_passes):
+        pixel_id, w_cam, carry = _vol_pass_setup(scene, media, width, height,
+                                                 spp, seed + p, config)
+        for depth in range(config.max_depth):
+            carry = _vol_step(scene, media, config, carry, jnp.int32(depth))
+        acc = _vol_accumulate(acc, pixel_id, w_cam, carry.L, width, height)
+        n_rays = n_rays + carry.n_rays
+    img = acc / n_passes
+    if with_stats:
+        return img, n_rays
+    return img
+
+
 def render_vol_progressive(scene: Scene, media: media_mod.Media, width: int,
                            height: int, spp: int, n_passes: int, seed,
                            config: PTConfig = PTConfig()):
+    config = specialize_media_config(media, config)
+    return _render_vol_progressive_impl(scene, media, width, height, spp,
+                                        n_passes, seed, config)
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "spp", "n_passes", "config"))
+def _render_vol_progressive_impl(scene: Scene, media, width: int,
+                                 height: int, spp: int, n_passes: int, seed,
+                                 config: PTConfig = PTConfig()):
     """N volumetric passes fused into one dispatch (cf. render_progressive)."""
     def one_pass(acc, i):
         img = _render_vol_body(scene, media, width, height, spp,

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..math.vecmath import dot, safe_sqrt
 from ..sampling.rng import Sampler
+from ._hostcache import get_host as _get_host, register_host as _register_host
 
 HOMOGENEOUS = 0
 GRID = 1
@@ -146,7 +147,7 @@ class Media(NamedTuple):
             if rres is not None:
                 res[i] = rres
 
-        return Media(
+        media = Media(
             **{k: jnp.asarray(x) for k, x in out.items()},
             grid_data=jnp.asarray(np.concatenate(pool)),
             res=jnp.asarray(res),
@@ -156,6 +157,17 @@ class Media(NamedTuple):
             ch_le=jnp.asarray(ch["le"]),
             maj_a=jnp.asarray(maj_a), maj_s=jnp.asarray(maj_s),
         )
+        # host-side static per-volume structure (see media_static): lets the
+        # sampling/transmittance code compile per-volume fast paths with NO
+        # device readbacks (same pattern as scene._hostcache specialization)
+        _register_host(media.grid_data, dict(
+            vtype=out["vtype"].copy(),
+            off_a=off["a"].copy(), off_s=off["s"].copy(),
+            off_le=off["le"].copy(),
+            ch_a=ch["a"].copy(), ch_s=ch["s"].copy(), ch_le=ch["le"].copy(),
+            res=res.copy(),
+        ))
+        return media
 
     @staticmethod
     def empty() -> "Media":
@@ -197,9 +209,16 @@ def _grid_lookup(media: Media, vid, p, off, nch):
     flat = media.grid_data
 
     def corner(ax, ay, az):
-        idx = base[..., None] + cstride[..., None] * jnp.arange(3) \
-            + ((ax * ry + ay) * rz + az)[..., None]
-        return flat[idx]  # (..., 3)
+        # per-channel (B,) flat gathers: a single (B, 3) gather pads the
+        # 3-wide minor dim to a 128-lane tile on TPU (~10-40x slower; the
+        # round-4 profile measured 17 s/bounce on the volume bench from
+        # exactly this). Scalar grids (cstride == 0) still issue 3 gathers,
+        # but each rides the fast vectorized-take path.
+        sp = (ax * ry + ay) * rz + az
+        return jnp.stack(
+            [jnp.take(flat, base + cstride * c + sp) for c in range(3)],
+            axis=-1,
+        )  # (..., 3)
 
     c000 = corner(i0[..., 0], i0[..., 1], i0[..., 2])
     c100 = corner(i1[..., 0], i0[..., 1], i0[..., 2])
@@ -225,6 +244,177 @@ def _grid_lookup(media: Media, vid, p, off, nch):
 def _inside(media: Media, vid, p):
     ins = jnp.all((p >= media.box_min[vid]) & (p <= media.box_max[vid]), axis=-1)
     return ins & (media.active[vid] > 0)
+
+
+# ---------------------------------------------------------------------------
+# Static per-volume fast paths (round 4).
+#
+# Media.build registers the host-side structure (vtype / grid offsets /
+# channel counts) in scene._hostcache keyed by the grid_data array. The hot
+# paths below use it to compile per-volume specializations:
+#   * HOMOGENEOUS / constant fields: no gathers at all (the generic path
+#     issued 24 gathers per lookup that a jnp.where then discarded);
+#   * "density" grids (one shared scalar grid for sigma_a and sigma_s — the
+#     reference VolumeGrid single-grid mode): ONE 8-gather scalar trilinear
+#     lookup per point instead of 2 fields x 3 channels x 8 corners.
+# The round-4 TPU profile measured 14 s/bounce on the volume bench, almost
+# all of it these gathers (delta-tracking iterations + 32-step tau
+# quadrature are both per-point-lookup bound).
+# ---------------------------------------------------------------------------
+
+
+def media_static(media: Media):
+    """Host-registered static structure, or None for hand-built pytrees /
+    traced values (inside jit the leaves are tracers, so this returns None —
+    use `static_modes` host-side and thread the result in as a static arg)."""
+    try:
+        return _get_host(media.grid_data)
+    except TypeError:
+        return None
+
+
+def static_modes(media: Media):
+    """Hashable per-volume mode tuple for static specialization, or None.
+
+    Entry: (kind, off, le_off, (rx, ry, rz)) with kind in
+      'const'  — homogeneous or constant-field volume (zero gathers)
+      'scalar' — one shared scalar grid drives sigma_a AND sigma_s at `off`
+      'gen'    — distinct / RGB grids (generic gather path)
+    le_off: -1 = constant emission, else the Le grid offset (generic path).
+    MUST be called host-side on a concrete Media (it keys on array identity)
+    and passed into jitted code as a STATIC argument (PTConfig.media_modes).
+    """
+    info = media_static(media)
+    if info is None:
+        return None
+    out = []
+    for v in range(media.count):
+        le_off = int(info["off_le"][v])
+        res3 = tuple(int(x) for x in info["res"][v])
+        if info["vtype"][v] != GRID or (
+                info["off_a"][v] < 0 and info["off_s"][v] < 0):
+            out.append(("const", -1, le_off, res3))
+        elif (info["off_a"][v] == info["off_s"][v] and info["ch_a"][v] == 1
+              and info["ch_s"][v] == 1):
+            out.append(("scalar", int(info["off_a"][v]), le_off, res3))
+        else:
+            out.append(("gen", -1, le_off, res3))
+    return tuple(out)
+
+
+def _inside_v(media: Media, v: int, p):
+    ins = jnp.all((p >= media.box_min[v]) & (p <= media.box_max[v]), axis=-1)
+    return ins & (media.active[v] > 0)
+
+
+# one-hot-matmul trilinear is used when ry*rz fits this bound (the (B, ry*rz)
+# contraction intermediate stays < ~4.5 GB at 1M-lane batches); bigger grids
+# fall back to 8 per-corner gathers
+ONEHOT_MAX_YZ = 48 * 48
+
+
+def _grid_lookup1(media: Media, v: int, off: int, p, res3=None):
+    """(B,) scalar trilinear lookup of volume v's statically-known grid.
+
+    With a static `res3`, the 8-corner gather is reformulated as separable
+    one-hot contractions riding the MXU: val = wx . (G : wy ⊗ wz), where
+    each w has two nonzeros (the linear weights). The TPU has no fast
+    per-lane gather — an XLA dynamic gather moves ~1 element / 10 cycles,
+    so the 8-corner take path costs 31.5 ms per 0.5M-lane lookup where the
+    matmul form costs 2.3 ms (round-4 microbenchmark, 32^3 grid)."""
+    lo = media.box_min[v]
+    hi = media.box_max[v]
+    if res3 is not None and res3[1] * res3[2] <= ONEHOT_MAX_YZ:
+        rx, ry, rz = res3
+        rf = jnp.asarray(res3, jnp.float32)
+        q = (p - lo) / jnp.maximum(hi - lo, 1e-9) * (rf - 1)
+        q = jnp.clip(q, 0.0, jnp.maximum(rf - 1, 0.0) * (1 - 1e-6))
+        i0 = jnp.floor(q).astype(jnp.int32)
+        f = q - i0
+
+        def w(axis, n):
+            i0c = i0[..., axis]
+            fc = f[..., axis][..., None]
+            oh0 = jax.nn.one_hot(i0c, n, dtype=jnp.float32)
+            oh1 = jax.nn.one_hot(jnp.minimum(i0c + 1, n - 1), n,
+                                 dtype=jnp.float32)
+            return oh0 * (1 - fc) + oh1 * fc
+
+        G = jax.lax.dynamic_slice(media.grid_data, (off,),
+                                  (rx * ry * rz,)).reshape(rx, ry * rz)
+        # DEFAULT matmul precision, deliberately: HIGHEST measured 2x the
+        # whole volume render and a bf16-split 3-pass variant 5.7x (XLA
+        # stops pattern-matching the one-hot contraction once the operands
+        # are rewritten). Cost of default: operands round to bf16, ~2^-9
+        # relative interpolation error on a smooth density field —
+        # quality-neutral for rendering; gradient gates run on CPU where
+        # matmuls are exact f32.
+        t1 = (w(0, rx) @ G).reshape(p.shape[:-1] + (ry, rz))
+        t2 = jnp.einsum("...j,...jk->...k", w(1, ry), t1)
+        return jnp.einsum("...k,...k->...", w(2, rz), t2)
+    r = media.res[v]
+    rf = r.astype(jnp.float32)
+    q = (p - lo) / jnp.maximum(hi - lo, 1e-9) * (rf - 1)
+    q = jnp.clip(q, 0.0, jnp.maximum(rf - 1, 0.0) * (1 - 1e-6))
+    i0 = jnp.floor(q).astype(jnp.int32)
+    f = q - i0
+    i1 = jnp.minimum(i0 + 1, r - 1)
+    ry, rz = r[1], r[2]
+    flat = media.grid_data
+
+    def corner(ax, ay, az):
+        return jnp.take(flat, off + (ax * ry + ay) * rz + az)
+
+    c000 = corner(i0[..., 0], i0[..., 1], i0[..., 2])
+    c100 = corner(i1[..., 0], i0[..., 1], i0[..., 2])
+    c010 = corner(i0[..., 0], i1[..., 1], i0[..., 2])
+    c110 = corner(i1[..., 0], i1[..., 1], i0[..., 2])
+    c001 = corner(i0[..., 0], i0[..., 1], i1[..., 2])
+    c101 = corner(i1[..., 0], i0[..., 1], i1[..., 2])
+    c011 = corner(i0[..., 0], i1[..., 1], i1[..., 2])
+    c111 = corner(i1[..., 0], i1[..., 1], i1[..., 2])
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    c00 = c000 * (1 - fx) + c100 * fx
+    c10 = c010 * (1 - fx) + c110 * fx
+    c01 = c001 * (1 - fx) + c101 * fx
+    c11 = c011 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def _sigma_pair_v(media: Media, v: int, p, mode):
+    """(sigma_s, sigma_t) (..., 3) contribution of volume v at p, using the
+    statically-known mode entry. Falls back to the generic gather path only
+    for distinct / RGB grids."""
+    ins = _inside_v(media, v, p)[..., None]
+    zero3 = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
+    base_s = media.sigma_s[v]
+    base_t = media.sigma_s[v] + media.sigma_a[v]
+    kind = mode[0]
+    if kind == "const":
+        s_s = jnp.where(ins, base_s, 0.0) + zero3
+        s_t = jnp.where(ins, base_t, 0.0) + zero3
+        return s_s, s_t
+    if kind == "scalar":
+        D = _grid_lookup1(media, v, mode[1], p, mode[3])[..., None]
+        s_s = jnp.where(ins, base_s * D, 0.0)
+        s_t = jnp.where(ins, base_t * D, 0.0)
+        return s_s, s_t
+    vid = jnp.full(p.shape[:-1], v, jnp.int32)
+    s_s = sigma_s_at(media, vid, p)
+    s_t = s_s + sigma_a_at(media, vid, p)
+    return s_s, s_t
+
+
+def _le_v(media: Media, v: int, p, mode):
+    """Volume emission contribution of volume v at p (static fast path)."""
+    if mode is None or mode[2] >= 0:
+        vid = jnp.full(p.shape[:-1], v, jnp.int32)
+        return le_at(media, vid, p)
+    ins = _inside_v(media, v, p)[..., None]
+    return jnp.where(ins, media.le[v], 0.0) + jnp.zeros(
+        p.shape[:-1] + (3,), jnp.float32)
 
 
 def _mult(media: Media, vid, p, off_field, ch_field):
@@ -299,33 +489,64 @@ def segment_in_media(media: Media, o, d, t_min, t_max):
     return inside
 
 
-def sigma_at(media: Media, p):
+def sigma_at(media: Media, p, modes=None):
     """(sigma_s (..., 3), sigma_t (..., 3)) summed over all active volumes
-    at world point p (aggregate-volume union semantics)."""
+    at world point p (aggregate-volume union semantics). `modes`: static
+    per-volume specialization from `static_modes` (threaded through
+    PTConfig.media_modes — see that docstring)."""
     ss = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
     st = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
     for v in range(media.count):
-        vid = jnp.full(p.shape[:-1], v, jnp.int32)
-        s_s = sigma_s_at(media, vid, p)
+        if modes is not None:
+            s_s, s_t = _sigma_pair_v(media, v, p, modes[v])
+        else:
+            vid = jnp.full(p.shape[:-1], v, jnp.int32)
+            s_s = sigma_s_at(media, vid, p)
+            s_t = s_s + sigma_a_at(media, vid, p)
         ss = ss + s_s
-        st = st + s_s + sigma_a_at(media, vid, p)
+        st = st + s_t
     return ss, st
 
 
-def transmittance(media: Media, o, d, t_min, t_max):
+def transmittance(media: Media, o, d, t_min, t_max, modes=None):
     """Total transmittance over all active volumes along [t_min, t_max]
-    (KernelAggregateVolume union semantics, Volumes.h:339-395)."""
+    (KernelAggregateVolume union semantics, Volumes.h:339-395). `modes`:
+    static per-volume specialization from `static_modes`."""
     tr = jnp.ones(o.shape[:-1] + (3,), jnp.float32)
     for v in range(media.count):
-        vid = jnp.full(o.shape[:-1], v, jnp.int32)
         near, far, hit = _ray_box(media.box_min[v], media.box_max[v], o, d, t_min, t_max)
-        tau = tau_segment(media, vid, o, d, near, jnp.maximum(far, near))
+        seg = jnp.maximum(far - near, 0.0)
+        if modes is not None and modes[v][0] == "const":
+            # homogeneous / constant: closed form, zero gathers
+            tau = (media.sigma_a[v] + media.sigma_s[v]) * seg[..., None]
+        elif modes is not None and modes[v][0] == "scalar":
+            # shared scalar density grid: quadrature of the SCALAR field,
+            # then scale by the per-channel base sigma_t (8 gathers per
+            # step instead of 48)
+            dt = seg / TAU_STEPS
+            off = modes[v][1]
+            res3 = modes[v][3]
+
+            def step(acc, i):
+                t = near + (i + 0.5) * dt
+                pt = o + d * t[..., None]
+                return acc + _grid_lookup1(media, v, off, pt, res3), None
+
+            acc, _ = jax.lax.scan(
+                step, jnp.zeros(seg.shape, jnp.float32),
+                jnp.arange(TAU_STEPS, dtype=jnp.float32))
+            tau = (media.sigma_a[v] + media.sigma_s[v]) \
+                * (acc * dt)[..., None]
+        else:
+            vid = jnp.full(o.shape[:-1], v, jnp.int32)
+            tau = tau_segment(media, vid, o, d, near, jnp.maximum(far, near))
         act = hit & (media.active[v] > 0)
         tr = tr * jnp.where(act[..., None], jnp.exp(-tau), 1.0)
     return tr
 
 
-def sample_distance(media: Media, o, d, t_min, t_max, sampler: Sampler):
+def sample_distance(media: Media, o, d, t_min, t_max, sampler: Sampler,
+                    modes=None):
     """Sample a scattering distance against the UNION of all volumes
     (KernelAggregateVolume::sampleDistance semantics, Volumes.h:339-395).
 
@@ -408,7 +629,7 @@ def sample_distance(media: Media, o, d, t_min, t_max, sampler: Sampler):
         t_new = c.t + dt
         esc_now = c.tracking & (t_new >= jax.lax.stop_gradient(u_far))
         p = o_det + d_det * jnp.where(c.tracking, t_new, c.t)[..., None]
-        _, st = sigma_at(media, p)
+        _, st = sigma_at(media, p, modes)
         ratio = jax.lax.stop_gradient(
             jnp.clip(jnp.mean(st, axis=-1) / maj, 0.0, 1.0))
         s, u2 = s.next_1d()
@@ -422,7 +643,22 @@ def sample_distance(media: Media, o, d, t_min, t_max, sampler: Sampler):
             steps=c.steps + 1,
         )
 
-    fin = jax.lax.while_loop(track_cond, track, init)
+    # CT_TRACK_SCAN=N: run the tracking loop as a fixed-trip lax.scan instead
+    # of lax.while_loop. Workaround for an XLA:TPU runtime fault (round-4
+    # bisection): volpath programs composing this while_loop with the bounce
+    # scan at depth >= 4 crash the TPU worker; the identical body under a
+    # fixed-trip scan executes fine. Exhausted lanes (P ~ Poisson tail,
+    # ~1e-12 at N=64 for bench majorants) are weighted as pass-through.
+    import os as _os
+
+    _scan_n = int(_os.environ.get("CT_TRACK_SCAN", "0"))
+    if _scan_n > 0:
+        # track() is already idempotent for terminated lanes (every update is
+        # masked by c.tracking), so the fixed-trip scan runs the same body
+        fin, _ = jax.lax.scan(lambda c, _: (track(c), None), init, None,
+                              length=_scan_n)
+    else:
+        fin = jax.lax.while_loop(track_cond, track, init)
     sampler = fin.smp
 
     scatter = in_vol & fin.real
@@ -437,7 +673,7 @@ def sample_distance(media: Media, o, d, t_min, t_max, sampler: Sampler):
     # transmittance over DETACHED marginal pdfs (tau_mean = channel-mean of
     # -log Tr): value ~1, gradients flow through Tr and the sigmas.
     t_end = jnp.where(scatter, t_s, jnp.minimum(t_max, 1e7))
-    tr = transmittance(media, o, d, t_min, t_end)
+    tr = transmittance(media, o, d, t_min, t_end, modes)
     tr = jnp.where(in_vol[..., None], tr, 1.0)
     log_tr_det = jax.lax.stop_gradient(jnp.log(jnp.maximum(tr, 1e-30)))
     tr_det_mean = jnp.exp(jnp.mean(log_tr_det, axis=-1))
@@ -446,11 +682,11 @@ def sample_distance(media: Media, o, d, t_min, t_max, sampler: Sampler):
     # p. Lve is an emission coefficient per unit length — the reference adds
     # vol.Lve(x,w)*d with no sigma_a factor (PointStorage.h:185), so scenes
     # port over with identical emitted radiance.
-    ss_p, st_p = sigma_at(media, p_s)
+    ss_p, st_p = sigma_at(media, p_s, modes)
     emit_p = jnp.zeros(p_s.shape[:-1] + (3,), jnp.float32)
     for v in range(V):
-        vv = jnp.full(B, v, jnp.int32)
-        emit_p = emit_p + le_at(media, vv, p_s)
+        emit_p = emit_p + _le_v(media, v, p_s,
+                                None if modes is None else modes[v])
 
     st_mean_det = jax.lax.stop_gradient(jnp.maximum(jnp.mean(st_p, -1), 1e-9))
     pdf = jnp.where(scatter, st_mean_det * tr_det_mean, tr_det_mean)
@@ -472,9 +708,12 @@ def sample_distance(media: Media, o, d, t_min, t_max, sampler: Sampler):
     vid = jnp.zeros(B, jnp.int32)
     chosen = jnp.zeros(B, bool)
     for v in range(V):
-        vv = jnp.full(B, v, jnp.int32)
-        w_v = jnp.where(_inside(media, vv, p_s),
-                        jnp.mean(sigma_s_at(media, vv, p_s), axis=-1), 0.0)
+        if modes is not None:
+            w_v = jnp.mean(_sigma_pair_v(media, v, p_s, modes[v])[0], axis=-1)
+        else:
+            vv = jnp.full(B, v, jnp.int32)
+            w_v = jnp.where(_inside(media, vv, p_s),
+                            jnp.mean(sigma_s_at(media, vv, p_s), axis=-1), 0.0)
         acc = acc + jax.lax.stop_gradient(w_v) / ss_total
         take = ~chosen & (u_vid < acc + 1e-7) & (w_v > 0)
         vid = jnp.where(take, v, vid)

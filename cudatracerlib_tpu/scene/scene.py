@@ -152,7 +152,10 @@ def scene_intersect(scene: "Scene", o, d, t_min=1e-4, t_max=jnp.inf,
     import jax
 
     platform = jax.devices()[0].platform
-    if scene.clusters is not None and platform not in ("cpu",):
+    mode = traversal_mod.force_intersect_mode()
+    use_cluster = (mode == "cluster" or
+                   (not mode and scene.clusters is not None))
+    if use_cluster and scene.clusters is not None and platform not in ("cpu",):
         from ..ops.cluster_trace import intersect_clusters
 
         sg = jax.lax.stop_gradient
