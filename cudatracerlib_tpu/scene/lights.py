@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,6 +62,13 @@ class Lights(NamedTuple):
     tri_n: jnp.ndarray        # (NTL, 3) geometric normals (unit)
     # environment
     env_map: jnp.ndarray      # (H, W, 3) equirect radiance (H=1 dummy if unused)
+    # precomputed env importance tables (build_lights; detached sampling
+    # densities — recomputing them per sample cost a (B, W) row gather +
+    # per-lane cumsum every bounce, ~0.3 s/bounce at 1M lanes on TPU)
+    env_w: jnp.ndarray        # (H, W) luminance * sin(theta) weights
+    env_row_cdf: jnp.ndarray  # (H,) marginal row CDF
+    env_col_cdf: jnp.ndarray  # (H, W) per-row conditional CDFs
+    env_total: jnp.ndarray    # () sum of env_w
     # world bounds for distant/env ray sampling
     world_center: jnp.ndarray # (3,)
     world_radius: jnp.ndarray # ()
@@ -151,6 +159,17 @@ def build_lights(records: list[dict], world_center, world_radius,
     n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
 
     env = env_map if env_map is not None else np.zeros((1, 2, 3), np.float32)
+    env = np.asarray(env, np.float32)
+    eh, ew = env.shape[0], env.shape[1]
+    lum = (0.212671 * env[..., 0] + 0.715160 * env[..., 1]
+           + 0.072169 * env[..., 2])
+    sin_rows = np.sin((np.arange(eh, dtype=np.float32) + 0.5) / eh * np.pi)
+    env_w = np.maximum(lum * sin_rows[:, None], 1e-12).astype(np.float32)
+    row_w = env_w.sum(axis=1)
+    env_row_cdf = (np.cumsum(row_w) / max(row_w.sum(), 1e-12)).astype(np.float32)
+    env_col_cdf = (np.cumsum(env_w, axis=1)
+                   / np.maximum(env_w.sum(axis=1, keepdims=True), 1e-12)
+                   ).astype(np.float32)
 
     return Lights(
         ltype=jnp.asarray(ltype),
@@ -165,7 +184,11 @@ def build_lights(records: list[dict], world_center, world_radius,
         area=jnp.asarray(area),
         tris=jnp.asarray(tris_all),
         tri_n=jnp.asarray(n.astype(np.float32)),
-        env_map=jnp.asarray(np.asarray(env, np.float32)),
+        env_map=jnp.asarray(env),
+        env_w=jnp.asarray(env_w),
+        env_row_cdf=jnp.asarray(env_row_cdf),
+        env_col_cdf=jnp.asarray(env_col_cdf),
+        env_total=jnp.asarray(np.float32(env_w.sum())),
         world_center=jnp.asarray(np.asarray(world_center, np.float32)),
         world_radius=jnp.asarray(np.float32(world_radius)),
     )
@@ -320,7 +343,7 @@ def eval_env(lights: Lights, lid, d):
     uv = _env_uv_from_dir(d)
     x = jnp.clip((uv[..., 0] * W).astype(jnp.int32), 0, W - 1)
     y = jnp.clip((uv[..., 1] * H).astype(jnp.int32), 0, H - 1)
-    env = lights.env_map[y, x] * lights.radiance[lid]
+    env = _env_fetch_rgb(lights.env_map, y, x) * lights.radiance[lid]
     return jnp.where(
         (t == INFINITE)[..., None], env,
         jnp.where((t == CONSTANT_ENV)[..., None], lights.radiance[lid], 0.0),
@@ -332,43 +355,48 @@ def pdf_env_dir(lights: Lights, lid, d):
     t = lights.ltype[lid]
     pdf_const = INV_FOURPI * jnp.ones(d.shape[:-1], jnp.float32)
     # INFINITE importance pdf: luminance-weighted over equirect with sin(theta)
-    H, W = lights.env_map.shape[0], lights.env_map.shape[1]
+    H, W = lights.env_w.shape[0], lights.env_w.shape[1]
     uv = _env_uv_from_dir(d)
     x = jnp.clip((uv[..., 0] * W).astype(jnp.int32), 0, W - 1)
     y = jnp.clip((uv[..., 1] * H).astype(jnp.int32), 0, H - 1)
-    lum = (
-        0.212671 * lights.env_map[..., 0]
-        + 0.715160 * lights.env_map[..., 1]
-        + 0.072169 * lights.env_map[..., 2]
-    )
-    sin_t_rows = jnp.sin((jnp.arange(H, dtype=jnp.float32) + 0.5) / H * PI)
-    w = lum * sin_t_rows[:, None]
-    total = jnp.maximum(jnp.sum(w), 1e-12)
+    w_yx = jnp.take(lights.env_w.reshape(-1), y * W + x)
+    total = jnp.maximum(lights.env_total, 1e-12)
     sin_theta = jnp.maximum(jnp.sin(uv[..., 1] * PI), 1e-6)
     # p(dir) = p(u,v) / (2 pi^2 sin(theta)); p(u,v) = w[y,x] * H * W / total
-    pdf_inf = w[y, x] * H * W / total / (2.0 * PI * PI * sin_theta)
+    pdf_inf = w_yx * H * W / total / (2.0 * PI * PI * sin_theta)
     return jnp.where(t == INFINITE, pdf_inf, jnp.where(t == CONSTANT_ENV, pdf_const, 0.0))
+
+
+def _env_fetch_rgb(env_map, y, x):
+    """env_map[y, x] as 3 per-channel flat takes (a fancy-index (B, 3)
+    gather pads the 3-wide minor dim to a 128-lane tile on TPU)."""
+    H, W = env_map.shape[0], env_map.shape[1]
+    flat = env_map.reshape(H * W, 3)
+    idx = y * W + x
+    return jnp.stack([jnp.take(flat[:, c], idx) for c in range(3)], axis=-1)
 
 
 def _sample_env(lights: Lights, lid, u2):
     """Importance-sample the environment (2-D luminance CDF for INFINITE,
-    reference InfiniteLight Light.h:294-369; uniform sphere for CONSTANT)."""
-    H, W = lights.env_map.shape[0], lights.env_map.shape[1]
-    lum = (
-        0.212671 * lights.env_map[..., 0]
-        + 0.715160 * lights.env_map[..., 1]
-        + 0.072169 * lights.env_map[..., 2]
-    )
-    sin_t_rows = jnp.sin((jnp.arange(H, dtype=jnp.float32) + 0.5) / H * PI)
-    w = jnp.maximum(lum * sin_t_rows[:, None], 1e-12)  # (H, W)
-    row_w = jnp.sum(w, axis=1)
-    row_cdf = jnp.cumsum(row_w) / jnp.maximum(jnp.sum(row_w), 1e-12)
-    y, _, uy = mc.sample_discrete(row_cdf, u2[..., 1])
-    rows = w[y]  # (..., W)
-    col_cdf = jnp.cumsum(rows, axis=-1) / jnp.maximum(
-        jnp.sum(rows, axis=-1, keepdims=True), 1e-12
-    )
-    x, _, ux = mc.sample_discrete(col_cdf, u2[..., 0])
+    reference InfiniteLight Light.h:294-369; uniform sphere for CONSTANT).
+
+    Uses the build-time tables (env_row_cdf / env_col_cdf / env_w): the row
+    CDF is shared (one searchsorted), the conditional column CDF row is
+    materialized per lane by a one-hot MXU contraction, and the column index
+    plus its pmf come from (B, W) element-wise comparisons — no per-lane row
+    gather, no per-lane cumsum (round-4 profile: those were ~0.3 s/bounce
+    of the glossy config's shading time at 1M lanes)."""
+    H, W = lights.env_w.shape[0], lights.env_w.shape[1]
+    y, pmf_row, uy = mc.sample_discrete(lights.env_row_cdf, u2[..., 1])
+    oh_y = jax.nn.one_hot(y, H, dtype=jnp.float32)          # (B, H)
+    row_cdf = oh_y @ lights.env_col_cdf                     # (B, W)
+    u0 = u2[..., 0]
+    below = (row_cdf < u0[..., None]) & (jnp.arange(W) < W - 1)
+    x = jnp.sum(below.astype(jnp.int32), axis=-1)
+    hi = jnp.min(jnp.where(below, jnp.inf, row_cdf), axis=-1)
+    lo = jnp.max(jnp.where(below, row_cdf, 0.0), axis=-1)
+    pmf_col = jnp.maximum(hi - lo, 1e-12)
+    ux = jnp.clip((u0 - lo) / pmf_col, 0.0, 1.0 - 1e-6)
     # continuous position within the texel
     u = (x.astype(jnp.float32) + ux) / W
     v = (y.astype(jnp.float32) + uy) / H
@@ -376,11 +404,10 @@ def _sample_env(lights: Lights, lid, u2):
     phi = u * 2.0 * PI
     st = jnp.sin(theta)
     d_inf = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), jnp.cos(theta)], axis=-1)
-    total = jnp.sum(w)
-    pdf_inf = w[y, x] * H * W / jnp.maximum(total, 1e-12) / (
+    pdf_inf = pmf_row * pmf_col * H * W / (
         2.0 * PI * PI * jnp.maximum(st, 1e-6)
     )
-    rad_inf = lights.env_map[y, x] * lights.radiance[lid]
+    rad_inf = _env_fetch_rgb(lights.env_map, y, x) * lights.radiance[lid]
 
     d_const = warp.square_to_uniform_sphere(u2)
     t = lights.ltype[lid]
