@@ -81,6 +81,87 @@ def bench_smoke():
     return _report("smoke (Cornell 64^2@2spp ran)", 1.0, {"mean": round(lum, 4)})
 
 
+def bench_tpusmoke():
+    """Real-TPU pre-snapshot smoke gate (VERDICT r3 item 5): drive every
+    intersector variant + engine for a few seconds each ON THE CHIP, exit
+    nonzero on any fault. Interpreter-mode Pallas tests cannot catch Mosaic
+    faults, and the volume config crashed the worker for three rounds
+    before this gate existed. Run: `python bench.py tpusmoke`."""
+    import jax.numpy as jnp
+
+    from cudatracerlib_tpu.render.path_tracer import PTConfig, render
+    from cudatracerlib_tpu.render.volpath import render_vol_stepwise
+    from cudatracerlib_tpu.render.wavefront import render_wavefront
+    from cudatracerlib_tpu.parallel.shard import make_mesh, make_sharded_ppm
+    from cudatracerlib_tpu.render.ppm import PPMConfig, progressive_radius
+    from cudatracerlib_tpu.scene import media as M
+    from cudatracerlib_tpu.scene.shapes import (caustic_scene, cornell_box,
+                                                glossy_scene)
+
+    checks = []
+
+    def check(name, fn):
+        t0 = time.perf_counter()
+        try:
+            val = fn()
+            ok = bool(np.isfinite(val))
+        except Exception as e:  # noqa: BLE001 — the gate must report, not die
+            print(f"# tpusmoke {name}: FAULT {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            checks.append((name, False))
+            return
+        dt = time.perf_counter() - t0
+        print(f"# tpusmoke {name}: {'ok' if ok else 'NON-FINITE'} "
+              f"({dt:.1f}s, mean={val:.5f})", file=sys.stderr)
+        checks.append((name, ok))
+
+    cornell = cornell_box()
+    cfg3 = PTConfig(max_depth=3)
+    check("dense+megakernel", lambda: float(np.asarray(
+        render(cornell, 64, 64, 2, jnp.uint32(0), cfg3)).mean()))
+
+    glossy = glossy_scene()
+    check("cluster-mid+env", lambda: float(np.asarray(
+        render(glossy, 64, 64, 2, jnp.uint32(0), cfg3)).mean()))
+
+    check("wavefront", lambda: float(np.asarray(
+        render_wavefront(glossy, 64, 64, 2, 0, cfg3)).mean()))
+
+    lo = np.asarray(cornell.bvh.world_min)
+    hi = np.asarray(cornell.bvh.world_max)
+    rng = np.random.default_rng(0)
+    dens = rng.random((8, 8, 8)).astype(np.float32) + 0.5
+    medium = M.Media.build([
+        dict(type=M.GRID, sigma_a=[0.05] * 3, sigma_s=[0.5] * 3,
+             box_min=lo + 0.05, box_max=hi - 0.05, phase_g=0.3,
+             density=dens)
+    ])
+    check("volpath-stepwise", lambda: float(np.asarray(render_vol_stepwise(
+        cornell, medium, 64, 64, 2, 1, 0, PTConfig(max_depth=5))).mean()))
+
+    caustic = caustic_scene()
+    pcfg = PPMConfig(n_photons=1 << 14)
+    mesh = make_mesh()
+    ppm_fn = make_sharded_ppm(mesh, 64, 64, 2, pcfg)
+    check("sharded-ppm", lambda: float(np.asarray(ppm_fn(
+        caustic, jnp.uint32(0), progressive_radius(pcfg.radius0, 1))).mean()))
+
+    # big-scene cluster kernel (largest VMEM/DMA shapes); last because the
+    # scene build is the slow part (npz-cached after the first run)
+    from cudatracerlib_tpu.scene.bigscene import build_big_scene
+
+    big = build_big_scene()
+    check("cluster-big+wavefront", lambda: float(np.asarray(
+        render_wavefront(big, 64, 64, 1, 0, cfg3)).mean()))
+
+    n_ok = sum(ok for _, ok in checks)
+    _report("tpusmoke (TPU fault gate)", float(n_ok),
+            {"checks": len(checks),
+             "failed": [n for n, ok in checks if not ok]})
+    if n_ok != len(checks):
+        sys.exit(1)
+
+
 def bench_cornell():
     """Config 1: Cornell box, megakernel PT 256x256 @ 16 spp, depth 5."""
     from cudatracerlib_tpu.render.path_tracer import (PTConfig, render_counted,
@@ -255,6 +336,7 @@ def bench_caustic():
 
 BENCHES = {
     "smoke": bench_smoke,
+    "tpusmoke": bench_tpusmoke,
     "glossy": bench_glossy,
     "bigscene": bench_bigscene,
     "volume": bench_volume,
@@ -309,7 +391,7 @@ def main():
     # subprocess model cheap — each config's programs compile once per
     # machine, ever.
     for name in BENCHES:
-        if name in ("cornell", "smoke"):
+        if name in ("cornell", "smoke", "tpusmoke"):
             continue
         _run_subprocess(name)
     for attempt in range(HEADLINE_RETRIES):
