@@ -132,6 +132,13 @@ class Scene(NamedTuple):
     camera: Camera
     env_light_id: jnp.ndarray  # () int32, -1 if no environment light
     clusters: ClusterScene | None = None  # stream-traversal decomposition (big scenes)
+    # instance-level TLAS (scene/instances.py): per-mesh BLAS tuple + aligned
+    # per-mesh InstanceGroup tuple; empty tuples = flattened single-level
+    # scene (the default). With instances, `bvh` holds mesh 0's BLAS (its
+    # world_min/max are the instance-union world bounds) and `shading` holds
+    # the meshes' OBJECT-space tables concatenated in prim_base order.
+    blas: tuple = ()
+    instances: tuple = ()
 
     @property
     def n_lights(self) -> int:
@@ -151,6 +158,13 @@ def scene_intersect(scene: "Scene", o, d, t_min=1e-4, t_max=jnp.inf,
     """Backend/size-dispatched closest-hit (the scene-level traceRay)."""
     import jax
 
+    if scene.instances:
+        from . import instances as inst_mod
+
+        return inst_mod.intersect_instances(
+            scene.blas, scene.instances, o, d, t_min,
+            jnp.minimum(jnp.asarray(t_max, jnp.float32), 1e30),
+            any_hit=any_hit)
     platform = jax.devices()[0].platform
     mode = traversal_mod.force_intersect_mode()
     use_cluster = (mode == "cluster" or
@@ -192,6 +206,17 @@ def make_interaction(scene: Scene, o, d, hit, flat: bool = False) -> Interaction
     normals and whose UVs are the default barycentric chart — skips the
     per-corner vertex/normal/uv gathers (one (T,3) gather instead of ~100
     bytes/lane; Cornell-class scenes take this path via specialize_config)."""
+    inst_id = None
+    if scene.instances:
+        # instanced scene: decode (instance, shading row) from the packed
+        # prim; geometry below comes out in OBJECT space and is mapped to
+        # world per lane at the end
+        from . import instances as inst_mod
+
+        tpad = inst_mod.instance_tpad(scene.blas)
+        inst_id, _, row = inst_mod.decode_hit(scene.instances, tpad, hit)
+        hit = hit._replace(prim=jnp.where(hit.valid, row, 0))
+        flat = False
     prim = jnp.maximum(hit.prim, 0)
     if flat:
         t_safe = jnp.where(hit.valid & jnp.isfinite(hit.t), hit.t, 1.0)
@@ -240,6 +265,23 @@ def make_interaction(scene: Scene, o, d, hit, flat: bool = False) -> Interaction
     frame = Frame(s=s, t=t_vec, n=n_sh)
 
     mat_id = scene.shading.mat_id[prim]
+    if inst_id is not None:
+        # object -> world: directions by the to_world linear part
+        # (x_w = L @ x_o), normals by the world->object linear part
+        # transposed (n_w = L_obj^T @ n_o); p is world already (computed
+        # from the world ray and the affine-invariant t)
+        from . import instances as inst_mod
+
+        to_obj_f, to_world_f, imat_f, _ = inst_mod.flat_instance_arrays(
+            scene.instances)
+        Lw = small_gather(to_world_f, inst_id)[..., :, :3]   # (B, 3, 3)
+        Lo = small_gather(to_obj_f, inst_id)[..., :, :3]
+        n_geo = normalize(jnp.einsum("...ij,...i->...j", Lo, n_geo))
+        n_w = normalize(jnp.einsum("...ij,...i->...j", Lo, frame.n))
+        s_w = jnp.einsum("...ji,...i->...j", Lw, frame.s)
+        s_w = normalize(s_w - n_w * dot(n_w, s_w, keepdims=True))
+        frame = Frame(s=s_w, t=jnp.cross(n_w, s_w), n=n_w)
+        mat_id = small_gather(imat_f, inst_id)
     return Interaction(
         p=p,
         n_geo=n_geo,
