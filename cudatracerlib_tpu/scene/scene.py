@@ -72,6 +72,9 @@ class Materials(NamedTuple):
     tex_alpha: jnp.ndarray   # (M,) int32 alpha-test texture
     alpha_ref: jnp.ndarray   # (M,) test_val_scalar
     alpha_ref_color: jnp.ndarray  # (M, 3) test_val_color
+    # Cauchy dispersion coefficient C (um^2): n(lambda) = eta + C*(1/l^2 -
+    # 1/l_d^2), l_d = 589.3 nm; 0 = achromatic (render/spectral.py)
+    cauchy_c: jnp.ndarray    # (M,)
 
     @staticmethod
     def build(records: list[dict]) -> "Materials":
@@ -101,6 +104,7 @@ class Materials(NamedTuple):
             tex_alpha=np.full(m, -1, np.int32),
             alpha_ref=np.full(m, 0.5, np.float32),
             alpha_ref_color=np.zeros((m, 3), np.float32),
+            cauchy_c=np.zeros(m, np.float32),
         )
         for i, r in enumerate(records):
             for k, v in r.items():

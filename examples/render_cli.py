@@ -8,7 +8,7 @@ Usage:
 
 SCENE: a Mitsuba .xml file, an .obj file, or one of the built-ins
        {cornell, furnace, bigscene}.
-TRACER: direct | PT | PT_Wave | BDPT | VCM | PPPM | SPPM | guided | LT | fast
+TRACER: direct | PT | PT_Spectral | PT_Wave | BDPT | VCM | PPPM | SPPM | guided | LT | fast
 """
 import argparse
 import sys
@@ -58,7 +58,8 @@ def main():
     ap.add_argument("scene")
     ap.add_argument("passes", type=int)
     ap.add_argument("tracer", choices=["direct", "PT", "PT_Wave", "BDPT", "VCM",
-                                       "PPPM", "SPPM", "guided", "LT", "fast"])
+                                       "PPPM", "SPPM", "guided", "LT", "fast",
+                                       "PT_Spectral"])
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--depth", type=int, default=6)
@@ -110,6 +111,10 @@ def main():
                 from cudatracerlib_tpu.render.path_tracer import render
 
                 img = render(scene, W, H, args.spp, p, cfg)
+            elif args.tracer == "PT_Spectral":
+                from cudatracerlib_tpu.render.spectral import render_spectral
+
+                img = render_spectral(scene, W, H, args.spp, p, cfg)
             elif args.tracer == "PT_Wave":
                 from cudatracerlib_tpu.render.wavefront import render_wavefront
 
