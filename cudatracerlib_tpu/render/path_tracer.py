@@ -66,6 +66,10 @@ class PTConfig(NamedTuple):
     # set host-side by volpath's public entry points; hashable so the jit
     # cache keys on it like the other specialization fields
     media_modes: tuple | None = None
+    # BSSRDF subsurface random walk (Engine/Material.h:66): enabled by
+    # specialize_config when any material carries sss > 0
+    sss: bool = False
+    sss_steps: int = 16  # interior walk scan length (truncation ~albedo^N)
 
 
 def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
@@ -124,6 +128,7 @@ def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
         (np.asarray(mats.alpha_mode)[used_mats] > 0)
         & (np.asarray(mats.tex_alpha)[used_mats] >= 0)
     ).any())
+    sss_any = bool((np.asarray(mats.sss)[used_mats] > 0).any())
     if config.regularization > 0.0:
         import cudatracerlib_tpu.scene.bsdf as B
 
@@ -145,7 +150,7 @@ def specialize_config(scene: Scene, config: PTConfig) -> PTConfig:
     return config._replace(
         bsdf_types=bsdf_types, light_types=light_types, tex_types=tex_types,
         flat_shading=flat, normal_maps=normal_maps, height_maps=height_maps,
-        parallax=parallax, alpha_test=alpha,
+        parallax=parallax, alpha_test=alpha, sss=sss_any,
     )
 
 
@@ -191,6 +196,122 @@ def _offset_ray(p, n_geo, w, eps):
     """Offset origin along the geometric normal on w's side."""
     s = jnp.sign(dot(n_geo, w, keepdims=True))
     return p + n_geo * s * eps
+
+
+def _sss_walk(scene: Scene, config: PTConfig, *, entered, p0, d0, n_entry,
+              mat_id, sampler: Sampler):
+    """Random-walk subsurface transport (Engine/Material.h:66 GetBSSRDF +
+    Kernel/ParticleProcess.h SSS handling).
+
+    A lane that refracted into an sss material walks its homogeneous
+    interior: distances sampled against the channel-mean sigma_t (per-
+    channel weights keep the estimator exact AND differentiable w.r.t. the
+    sigmas — the BASELINE sigma_s gradient gate), HG phase at each scatter,
+    boundary exits refract through the dielectric interface (TIR reflects
+    back inside). Fixed-trip scan (config.sss_steps); lanes still inside at
+    the cap terminate (truncation ~ albedo^N).
+
+    Returns (exited, exit_o, exit_d, weight (B,3), sampler, n_rays)."""
+    B = p0.shape[0]
+    m = scene.materials
+    g = lambda t: scene_mod.small_gather(t, mat_id)
+    sig_s = g(m.sss_sigma_s)
+    sig_a = g(m.sss_sigma_a)
+    sig_t = sig_s + sig_a
+    hg = g(m.sss_g)
+    eta_mat = g(m.eta)
+    sig_mean = jax.lax.stop_gradient(
+        jnp.maximum(jnp.mean(sig_t, axis=-1), 1e-6))
+
+    from ..math import fresnel as fres
+    from ..math.vecmath import reflect, refract
+    from ..scene import phase as phase_mod
+
+    class _W(NamedTuple):
+        pos: jnp.ndarray
+        dir: jnp.ndarray
+        w: jnp.ndarray          # (B, 3) accumulated interior weight
+        inside: jnp.ndarray
+        exited: jnp.ndarray
+        exit_o: jnp.ndarray
+        exit_d: jnp.ndarray
+        smp: Sampler
+        n_rays: jnp.ndarray
+
+    # start just inside the surface
+    init = _W(pos=p0 - n_entry * config.ray_eps, dir=d0,
+              w=jnp.ones((B, 3), jnp.float32), inside=entered,
+              exited=jnp.zeros((B,), bool), exit_o=p0, exit_d=d0,
+              smp=sampler, n_rays=jnp.zeros((), jnp.float32))
+
+    def step(st: _W, _):
+        s, u_t = st.smp.next_1d()
+        t_s = -jnp.log(jnp.maximum(1.0 - u_t, 1e-12)) / sig_mean
+        hit = scene_mod.scene_intersect(scene, st.pos, st.dir,
+                                        config.ray_eps, t_s)
+        hit_bound = st.inside & hit.valid
+        scat = st.inside & ~hit.valid
+
+        # ---- scatter event: per-channel weight over the mean-sigma pdf ----
+        tr_c = jnp.exp(-sig_t * t_s[..., None])
+        pdf_sc = jax.lax.stop_gradient(
+            sig_mean * jnp.exp(-sig_mean * t_s))[..., None]
+        w_sc = sig_s * tr_c / jnp.maximum(pdf_sc, 1e-20)
+        s, u_ph = s.next_2d()
+        ps = phase_mod.sample_phase(
+            jnp.broadcast_to(jnp.int32(phase_mod.HG), (B,)), hg,
+            -st.dir, u_ph)
+        p_sc = st.pos + st.dir * t_s[..., None]
+
+        # ---- boundary event: pass weight, Fresnel exit or TIR ----
+        t_b = jnp.where(hit.valid, hit.t, 1.0)
+        tr_b = jnp.exp(-sig_t * t_b[..., None])
+        pdf_b = jax.lax.stop_gradient(
+            jnp.exp(-sig_mean * t_b))[..., None]
+        w_b = tr_b / jnp.maximum(pdf_b, 1e-20)
+        nf = scene_mod.gather_rows(scene.shading.n_face,
+                                   jnp.maximum(hit.prim, 0))
+        n_out = nf * jnp.sign(dot(nf, st.dir, keepdims=True))  # points along exit
+        p_b = st.pos + st.dir * t_b[..., None]
+        wo = -st.dir
+        ci = dot(wo, n_out)  # negative: hitting the boundary from inside
+        F, cos_t, eta_it, eta_ti = fres.fresnel_dielectric(ci, eta_mat)
+        s, u_f = s.next_1d()
+        do_exit = hit_bound & (u_f >= F)          # transmit out
+        tir = hit_bound & ~do_exit                # reflect back inside
+        d_refr = refract(wo, n_out, eta_ti, cos_t)
+        d_refl = reflect(wo, n_out)
+        # radiance compression exiting the dense medium (cf.
+        # _dielectric_sample's eta_ti^2 factor on the way in)
+        w_exit = w_b * (eta_ti * eta_ti)[..., None] \
+            * ((1.0 - F) / jnp.maximum(_sg(1.0 - F), 1e-12))[..., None]
+        w_tir = w_b * (F / jnp.maximum(_sg(F), 1e-12))[..., None]
+
+        new_inside = scat | tir
+        new_pos = jnp.where(scat[..., None], p_sc,
+                            jnp.where(tir[..., None],
+                                      p_b - st.dir * config.ray_eps, st.pos))
+        new_dir = jnp.where(scat[..., None], ps.wi,
+                            jnp.where(tir[..., None], d_refl, st.dir))
+        new_w = jnp.where(scat[..., None], st.w * w_sc * ps.weight[..., None],
+                          jnp.where(tir[..., None], st.w * w_tir,
+                                    jnp.where(do_exit[..., None],
+                                              st.w * w_exit, st.w)))
+        return _W(
+            pos=new_pos, dir=new_dir, w=new_w, inside=new_inside,
+            exited=st.exited | do_exit,
+            exit_o=jnp.where(do_exit[..., None],
+                             p_b + n_out * config.ray_eps, st.exit_o),
+            exit_d=jnp.where(do_exit[..., None], d_refr, st.exit_d),
+            smp=s,
+            n_rays=st.n_rays + jnp.sum(st.inside.astype(jnp.float32)),
+        ), None
+
+    fin, _ = jax.lax.scan(step, init, None, length=config.sss_steps)
+    return fin.exited, fin.exit_o, fin.exit_d, fin.w, fin.smp, fin.n_rays
+
+
+_sg = jax.lax.stop_gradient
 
 
 class BounceOut(NamedTuple):
@@ -378,6 +499,23 @@ def surface_bounce(scene: Scene, config: PTConfig, *, o, d, active,
     delta_now = bsdf_mod.is_delta(mp) | (
         (bs.sampled_type & (16 | 32 | 64)) > 0  # delta/null lobes
     )
+    n_sss = jnp.float32(0.0)
+    if config.sss:
+        # ---- BSSRDF: refraction INTO an sss material starts the interior
+        # random walk; the path resumes from the exit point/direction ----
+        sss_mask = scene_mod.small_gather(scene.materials.sss, it.mat_id) > 0
+        entering = cont & sss_mask & ((bs.sampled_type & (32 | 8)) > 0) \
+            & (dot(wi_world, it.n_geo) * dot(wo_world, it.n_geo) < 0.0)
+        n_out_entry = it.n_geo * jnp.sign(dot(it.n_geo, wo_world,
+                                              keepdims=True))
+        ex, ex_o, ex_d, w_sss, s, n_sss = _sss_walk(
+            scene, config, entered=entering, p0=it.p, d0=wi_world,
+            n_entry=n_out_entry, mat_id=it.mat_id, sampler=s)
+        new_o = jnp.where(entering[..., None], ex_o, new_o)
+        wi_world = jnp.where(entering[..., None], ex_d, wi_world)
+        new_tp = jnp.where(entering[..., None], new_tp * w_sss, new_tp)
+        cont = jnp.where(entering, ex, cont)
+        delta_now = jnp.where(entering, True, delta_now)
     if passthru is not None:
         # alpha pass-through: continue the unchanged ray from behind the
         # surface with untouched throughput/MIS state
@@ -399,7 +537,7 @@ def surface_bounce(scene: Scene, config: PTConfig, *, o, d, active,
         o=new_o, d=wi_world, throughput=new_tp, L_add=L, cont=cont,
         bs_pdf=bs_pdf, delta_now=delta_now, eta_scale=eta_next,
         path_len=path_t, sampler=s,
-        n_rays=jnp.sum(active.astype(jnp.float32)) + n_shadow,
+        n_rays=jnp.sum(active.astype(jnp.float32)) + n_shadow + n_sss,
         n_nonfinite=jnp.sum(bad.astype(jnp.float32)),
     )
 

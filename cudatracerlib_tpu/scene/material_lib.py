@@ -73,3 +73,19 @@ def medium(name: str):
             return (np.asarray(v[0], np.float32), np.asarray(v[1], np.float32),
                     float(v[2]))
     raise KeyError(f"unknown medium {name!r}; options: {sorted(MEDIA)}")
+
+
+def sss_record(name: str, scale: float = 1.0, g: float = 0.0) -> dict:
+    """Material record for a measured subsurface medium: a smooth dielectric
+    boundary (the medium's eta) with the interior sigma_s/sigma_a attached
+    for the BSSRDF random walk (Engine/Material.h:66 GetBSSRDF semantics).
+    `scale` converts the table's mm^-1 sigmas to scene units."""
+    s, a, eta = medium(name)
+    return dict(
+        bsdf_type=2,  # DIELECTRIC boundary (scene/bsdf.py tag)
+        eta=eta,
+        sss=1,
+        sss_sigma_s=s * scale,
+        sss_sigma_a=a * scale,
+        sss_g=g,
+    )

@@ -75,6 +75,13 @@ class Materials(NamedTuple):
     # Cauchy dispersion coefficient C (um^2): n(lambda) = eta + C*(1/l^2 -
     # 1/l_d^2), l_d = 589.3 nm; 0 = achromatic (render/spectral.py)
     cauchy_c: jnp.ndarray    # (M,)
+    # BSSRDF subsurface medium attached to the material (Engine/Material.h:66
+    # GetBSSRDF): on refraction into an sss>0 surface the path random-walks
+    # the homogeneous interior (render/path_tracer.py _sss_walk)
+    sss: jnp.ndarray         # (M,) int32 0/1
+    sss_sigma_s: jnp.ndarray  # (M, 3) interior scattering (1/scene unit)
+    sss_sigma_a: jnp.ndarray  # (M, 3) interior absorption
+    sss_g: jnp.ndarray       # (M,) interior HG anisotropy
 
     @staticmethod
     def build(records: list[dict]) -> "Materials":
@@ -105,6 +112,10 @@ class Materials(NamedTuple):
             alpha_ref=np.full(m, 0.5, np.float32),
             alpha_ref_color=np.zeros((m, 3), np.float32),
             cauchy_c=np.zeros(m, np.float32),
+            sss=np.zeros(m, np.int32),
+            sss_sigma_s=np.zeros((m, 3), np.float32),
+            sss_sigma_a=np.zeros((m, 3), np.float32),
+            sss_g=np.zeros(m, np.float32),
         )
         for i, r in enumerate(records):
             for k, v in r.items():
@@ -672,6 +683,7 @@ def build_scene(
                           and (mat_host["parallax"][used] > 0).any()),
             alpha_test=bool(((mat_host["alpha_mode"][used] > 0)
                              & (mat_host["tex_alpha"][used] >= 0)).any()),
+            sss=bool((mat_host["sss"][used] > 0).any()),
         ))
     return Scene(
         bvh=bvh,
