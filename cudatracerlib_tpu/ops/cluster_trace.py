@@ -49,6 +49,7 @@ from ..accel.traversal import Hit
 
 LANES = 128
 ROWS = 8          # lane-rows per block; block = ROWS * LANES = 1024 rays
+                  # (output tiling requires sublane multiples of 8)
 INF = 3e30
 TRI_BITS = 10     # low mantissa bits of the t-key carrying the local tri id
 RING = 16         # wmat DMA pipeline depth (hides ~1.5 us DMA start latency)
@@ -373,9 +374,22 @@ def _coherence_key(lo, hi, o, d):
     distinct keys and "tiles" became random image-wide mixes — primary rays
     traced no faster than fully random ones. Fine direction bits give
     single-origin batches image-tile locality."""
+    import os as _os
+
+    # default 3+7 from the round-4 sweep on 826k-tri bounce batches:
+    # (obits, dbits) -> Mrays/s: (5,5) 0.87 [round-3 default], (7,3) 0.72,
+    # (4,6) 1.15, (3,7) 1.68, (2,8) 1.32, (0,10) 0.52; primary rays also
+    # improve 4.7 -> 8.1. Direction locality dominates because the kernel's
+    # per-block culling unions over LANES — rays agreeing on direction share
+    # a frustum even from a coarse origin cell, while fine origin cells with
+    # mixed directions still touch everything in front of them.
+    obits = int(_os.environ.get("CT_KEY_OBITS", "3"))
+    dbits = int(_os.environ.get("CT_KEY_DBITS", "7"))
+    omax = float((1 << obits) - 1)
+    dmax = float((1 << dbits) - 1)
     q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
-    qi = (q * 31.0).astype(jnp.uint32)                       # 5 bits/axis
-    dq = jnp.clip((d + 1.0) * 0.5 * 31.0, 0.0, 31.0).astype(jnp.uint32)
+    qi = (q * omax).astype(jnp.uint32)
+    dq = jnp.clip((d + 1.0) * 0.5 * dmax, 0.0, dmax).astype(jnp.uint32)
 
     def spread(x):  # canonical 3-D Morton bit spread (<=10-bit inputs)
         x = (x | (x << 16)) & jnp.uint32(0x30000FF)
@@ -386,7 +400,7 @@ def _coherence_key(lo, hi, o, d):
 
     m_o = spread(qi[:, 0]) | (spread(qi[:, 1]) << 1) | (spread(qi[:, 2]) << 2)
     m_d = spread(dq[:, 0]) | (spread(dq[:, 1]) << 1) | (spread(dq[:, 2]) << 2)
-    return (m_o << jnp.uint32(15)) | m_d
+    return (m_o << jnp.uint32(3 * dbits)) | m_d
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "sort_rays"))

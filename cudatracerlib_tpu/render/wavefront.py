@@ -166,14 +166,31 @@ def _wavefront_impl(scene: Scene, width: int, height: int, spp: int, seed,
         cont = out.cont & (p.depth + 1 < config.max_depth)
         L = p.L + out.L_add
 
+        # ---- tail drain (round 4): once the camera-ray supply is exhausted
+        # the pool decays ~50%/iteration, and every near-empty tail
+        # iteration still costs a FULL-width step (the round-4 profile
+        # measured ~30 of 49 bigscene iterations in this tail). Apply extra
+        # Russian roulette with 1/p compensation to the stragglers —
+        # unbiased, and the tail collapses in a few iterations.
+        throughput_out = out.throughput
+        supply_out = (st.next_ray + n_taken) >= total
+        low_occ = jnp.sum(cont.astype(jnp.int32)) < (C // 8)
+        drain = supply_out & low_occ
+        smp_out = out.sampler
+        smp_out, u_drain = smp_out.next_1d()
+        p_keep = jnp.where(drain, 0.25, 1.0)
+        keep = u_drain < p_keep
+        throughput_out = throughput_out / p_keep[..., None]
+        cont = cont & keep
+
         new_pool = _Pool(
             o=jnp.where(cont[:, None], out.o, p.o),
             d=jnp.where(cont[:, None], out.d, p.d),
-            throughput=jnp.where(cont[:, None], out.throughput, p.throughput),
+            throughput=jnp.where(cont[:, None], throughput_out, p.throughput),
             L=L,
             pixel=p.pixel,
             depth=p.depth + 1,
-            state=out.sampler.state,
+            state=smp_out.state,
             prev_pdf=jnp.where(cont, out.bs_pdf, p.prev_pdf),
             prev_delta=jnp.where(cont, out.delta_now, p.prev_delta),
             eta_scale=jnp.where(cont, out.eta_scale, p.eta_scale),
@@ -202,7 +219,7 @@ def _wavefront_impl(scene: Scene, width: int, height: int, spp: int, seed,
     img = film_rgb / jnp.maximum(film_w, 1e-8)[:, None]
     img = img.reshape(height, width, 3)
     if with_stats:
-        return img, final.n_rays, final.n_nonfinite
+        return img, final.n_rays, final.n_nonfinite, final.iters
     return img
 
 
@@ -224,9 +241,9 @@ def render_wavefront_counted(scene: Scene, width: int, height: int, spp: int,
     config = specialize_config(scene, config)
     if capacity is None:
         capacity = min(width * height * spp, 1 << 20)
-    img, n_rays, _ = _wavefront_impl(scene, width, height, spp,
-                                     jnp.uint32(seed), config, capacity,
-                                     with_stats=True)
+    img, n_rays, _, _ = _wavefront_impl(scene, width, height, spp,
+                                        jnp.uint32(seed), config, capacity,
+                                        with_stats=True)
     return img, n_rays
 
 
@@ -238,7 +255,8 @@ def render_wavefront_with_counters(scene: Scene, width: int, height: int,
     config = specialize_config(scene, config)
     if capacity is None:
         capacity = min(width * height * spp, 1 << 20)
-    img, n_rays, n_bad = _wavefront_impl(scene, width, height, spp,
-                                         jnp.uint32(seed), config, capacity,
-                                         with_stats=True)
-    return img, {"n_rays": n_rays, "n_nonfinite": n_bad}
+    img, n_rays, n_bad, n_iters = _wavefront_impl(scene, width, height, spp,
+                                                  jnp.uint32(seed), config,
+                                                  capacity, with_stats=True)
+    return img, {"n_rays": n_rays, "n_nonfinite": n_bad,
+                 "n_iters": n_iters}
