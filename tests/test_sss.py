@@ -71,11 +71,16 @@ class TestSSS:
 
     def test_sss_conserves_energy(self):
         """A non-absorbing interior cannot amplify: total image energy of
-        the sss render stays below the light-only bound and is finite."""
+        the sss render stays below the light-only bound and is finite.
+
+        Deliberately uses the EXACT render signature of
+        test_translucent_bleed_vs_opaque (via _front_lum) so the jit cache
+        is hit: compiling a second large sss program in-suite crashed the
+        XLA:CPU compiler (round-4 segfault in backend_compile)."""
         sss = _sss_scene(mlib.sss_record("Marble", scale=3.0))
         sc = sss._replace(materials=sss.materials._replace(
             sss_sigma_a=jnp.zeros_like(sss.materials.sss_sigma_a)))
-        img = np.asarray(render(sc, 32, 32, 16, jnp.uint32(1),
+        img = np.asarray(render(sc, 48, 48, 24, jnp.uint32(1),
                                 PTConfig(max_depth=8, rr_start=99,
                                          sss_steps=24)))
         assert np.isfinite(img).all()
