@@ -58,7 +58,14 @@ MAX_ORD = 256     # = MAX_CLUSTERS / SUPER_WAY: every super always fits
 QMAX = 512        # block-wide cluster queue capacity (drained when full)
 
 
-import os  # noqa: E402  (CT_DEBUG_COUNTS env hook for .scratch profilers)
+import os  # noqa: E402  (CT_* env hooks for .scratch profilers)
+
+# Tuning/debug knobs, read ONCE at import (they parameterize jit-traced
+# code, so per-call reads would silently reuse the first compile —
+# changing them requires a process restart; round-4 advisor note).
+_KEY_OBITS = int(os.environ.get("CT_KEY_OBITS", "3"))
+_KEY_DBITS = int(os.environ.get("CT_KEY_DBITS", "7"))
+_DEBUG_COUNTS = bool(os.environ.get("CT_DEBUG_COUNTS"))
 
 
 def _split(x):
@@ -374,8 +381,6 @@ def _coherence_key(lo, hi, o, d):
     distinct keys and "tiles" became random image-wide mixes — primary rays
     traced no faster than fully random ones. Fine direction bits give
     single-origin batches image-tile locality."""
-    import os as _os
-
     # default 3+7 from the round-4 sweep on 826k-tri bounce batches:
     # (obits, dbits) -> Mrays/s: (5,5) 0.87 [round-3 default], (7,3) 0.72,
     # (4,6) 1.15, (3,7) 1.68, (2,8) 1.32, (0,10) 0.52; primary rays also
@@ -383,8 +388,7 @@ def _coherence_key(lo, hi, o, d):
     # per-block culling unions over LANES — rays agreeing on direction share
     # a frustum even from a coarse origin cell, while fine origin cells with
     # mixed directions still touch everything in front of them.
-    obits = int(_os.environ.get("CT_KEY_OBITS", "3"))
-    dbits = int(_os.environ.get("CT_KEY_DBITS", "7"))
+    obits, dbits = _KEY_OBITS, _KEY_DBITS
     omax = float((1 << obits) - 1)
     dmax = float((1 << dbits) - 1)
     q = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0)
@@ -492,8 +496,7 @@ def intersect_clusters(cs: ClusterScene, o, d, t_min=1e-4, t_max=1e30,
         ),
     )(cs.supT, rays, cs.cbox, cs.wmat)
 
-    import os as _os
-    _dbg_mode = bool(_os.environ.get("CT_DEBUG_COUNTS"))
+    _dbg_mode = _DEBUG_COUNTS
     t = t.reshape(-1)[:B]
     cluster = code.reshape(-1)[:B]
     valid = cluster >= 0

@@ -269,8 +269,23 @@ def _sss_walk(scene: Scene, config: PTConfig, *, entered, p0, d0, n_entry,
         pdf_b = jax.lax.stop_gradient(
             jnp.exp(-sig_mean * t_b))[..., None]
         w_b = tr_b / jnp.maximum(pdf_b, 1e-20)
-        nf = scene_mod.gather_rows(scene.shading.n_face,
-                                   jnp.maximum(hit.prim, 0))
+        if scene.instances:
+            # instanced scene: hit.prim packs (instance, local prim) and
+            # n_face rows are OBJECT space — decode to the shading row (as
+            # make_interaction does) and map the normal to world via the
+            # world->object linear part transposed (round-4 advisor fix:
+            # the raw packed prim can exceed the table and silently clamp)
+            from ..scene import instances as inst_mod
+
+            tpad = inst_mod.instance_tpad(scene.blas)
+            inst_id, _, row = inst_mod.decode_hit(scene.instances, tpad, hit)
+            nf_obj = scene_mod.gather_rows(scene.shading.n_face, row)
+            to_obj_f, _, _, _ = inst_mod.flat_instance_arrays(scene.instances)
+            Lo = scene_mod.small_gather(to_obj_f, inst_id)[..., :, :3]
+            nf = normalize(jnp.einsum("...ij,...i->...j", Lo, nf_obj))
+        else:
+            nf = scene_mod.gather_rows(scene.shading.n_face,
+                                       jnp.maximum(hit.prim, 0))
         n_out = nf * jnp.sign(dot(nf, st.dir, keepdims=True))  # points along exit
         p_b = st.pos + st.dir * t_b[..., None]
         wo = -st.dir

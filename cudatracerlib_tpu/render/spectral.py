@@ -58,6 +58,7 @@ class _SCarry(NamedTuple):
     sampler: Sampler
     prev_pdf: jnp.ndarray
     prev_delta: jnp.ndarray
+    mono: jnp.ndarray         # (B,) companions already terminated
 
 
 def trace_radiance_spectral(scene: Scene, o, d, lam, sampler: Sampler,
@@ -75,6 +76,7 @@ def trace_radiance_spectral(scene: Scene, o, d, lam, sampler: Sampler,
         sampler=sampler,
         prev_pdf=jnp.zeros((B,), jnp.float32),
         prev_delta=jnp.ones((B,), bool),
+        mono=jnp.zeros((B,), bool),
     )
 
     def bounce(carry: _SCarry, depth):
@@ -157,15 +159,29 @@ def trace_radiance_spectral(scene: Scene, o, d, lam, sampler: Sampler,
 
         # dispersive refraction: companions terminate (hero continues) —
         # their delta lobe points elsewhere, so their value along the
-        # hero's direction is zero
+        # hero's direction is zero. This is hero-wavelength MIS (Wilkie et
+        # al. 2014 §4) in the delta limit: the per-wavelength pdf of the
+        # sampled direction is p for the hero and 0 for every companion, so
+        # the single-sample MIS estimator weight is p / (mean_k p_k) =
+        # N_WAVES on the surviving hero lane — spectral_to_rgb averages
+        # over N_WAVES lanes, and without this factor all light transported
+        # through dispersive dielectrics lands ~N_WAVES x too dark.
         t = mp.bsdf_type
         # transmission lobes: E_DELTA_TRANSMISSION | E_GLOSSY_TRANSMISSION
         refracted = (bs.sampled_type & ((1 << 5) | (1 << 3))) > 0
         dispersive = found & refracted & (cc > 0.0) & (
             (t == bsdf_mod.DIELECTRIC) | (t == bsdf_mod.THINDIELECTRIC)
             | (t == bsdf_mod.ROUGHDIELECTRIC))
-        kill = dispersive[:, None] & (jnp.arange(lam.shape[-1]) > 0)
-        tp = jnp.where(kill, 0.0, tp)
+        # the MIS factor applies ONCE — after the first dispersive event the
+        # path is monochromatic and later dispersive refractions neither
+        # re-kill nor re-weight (PBRT TerminateSecondary early-outs when
+        # secondaries are already terminated)
+        nw = lam.shape[-1]
+        first_disp = dispersive & ~carry.mono
+        kill = first_disp[:, None] & (jnp.arange(nw) > 0)
+        hero_w = jnp.where(first_disp[:, None] & (jnp.arange(nw) == 0),
+                           jnp.float32(nw), 1.0)
+        tp = jnp.where(kill, 0.0, tp * hero_w)
 
         cont = found & (bs.pdf > 0) & (jnp.max(tp, axis=-1) > 0)
         s, u_rr = s.next_1d()
@@ -182,6 +198,7 @@ def trace_radiance_spectral(scene: Scene, o, d, lam, sampler: Sampler,
             L=L, active=cont, sampler=s,
             prev_pdf=jnp.where(cont, bs.pdf, carry.prev_pdf),
             prev_delta=jnp.where(cont, delta_now, carry.prev_delta),
+            mono=carry.mono | first_disp,
         ), None
 
     body = jax.checkpoint(bounce, prevent_cse=False) if config.remat else bounce

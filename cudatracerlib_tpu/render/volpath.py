@@ -28,6 +28,12 @@ from ..scene import scene as scene_mod
 from ..scene.scene import Scene, gather_mat_params, make_interaction
 from .path_tracer import PTConfig, _light_select_pmf, _offset_ray, _select_light
 
+import os as _os
+
+# Fault-workaround knob, read ONCE at import (jit-traced; process-restart
+# semantics — see media.py _TRACK_SCAN note).
+_UNROLL_BOUNCES = int(_os.environ.get("CT_UNROLL_BOUNCES", "1"))
+
 
 class _VCarry(NamedTuple):
     o: jnp.ndarray
@@ -196,12 +202,9 @@ def trace_radiance_vol(scene: Scene, media: media_mod.Media, o, d,
 
     body = jax.checkpoint(bounce, prevent_cse=False) if config.remat else bounce
     # CT_UNROLL_BOUNCES: unroll the bounce loop (round-4 TPU fault
-    # workaround knob — see media.py CT_TRACK_SCAN note)
-    import os as _os
-
-    _unroll = int(_os.environ.get("CT_UNROLL_BOUNCES", "1"))
+    # workaround knob — see media.py CT_TRACK_SCAN note; import-once)
     final, _ = jax.lax.scan(body, init, jnp.arange(config.max_depth),
-                            unroll=max(1, _unroll))
+                            unroll=max(1, _UNROLL_BOUNCES))
     if with_stats:
         return final.L, final.sampler, final.n_rays
     return final.L, final.sampler

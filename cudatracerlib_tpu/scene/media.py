@@ -27,6 +27,13 @@ from ..math.vecmath import dot, safe_sqrt
 from ..sampling.rng import Sampler
 from ._hostcache import get_host as _get_host, register_host as _register_host
 
+import os as _os
+
+# Fault-workaround knob, read ONCE at import (it parameterizes jit-traced
+# code; per-call reads would silently reuse the first compile — changing it
+# requires a process restart; round-4 advisor note).
+_TRACK_SCAN = int(_os.environ.get("CT_TRACK_SCAN", "0"))
+
 HOMOGENEOUS = 0
 GRID = 1
 
@@ -649,9 +656,9 @@ def sample_distance(media: Media, o, d, t_min, t_max, sampler: Sampler,
     # scan at depth >= 4 crash the TPU worker; the identical body under a
     # fixed-trip scan executes fine. Exhausted lanes (P ~ Poisson tail,
     # ~1e-12 at N=64 for bench majorants) are weighted as pass-through.
-    import os as _os
-
-    _scan_n = int(_os.environ.get("CT_TRACK_SCAN", "0"))
+    # (Read once at import — see _TRACK_SCAN below; changing the env var
+    # after the first compile requires a process restart.)
+    _scan_n = _TRACK_SCAN
     if _scan_n > 0:
         # track() is already idempotent for terminated lanes (every update is
         # masked by c.tracking), so the fixed-trip scan runs the same body

@@ -82,6 +82,20 @@ class TestSpectralRender:
         assert chroma(img_d) > 1.35 * chroma(img_a), \
             f"dispersive {chroma(img_d):.4f} vs achromatic {chroma(img_a):.4f}"
 
+    def test_dispersive_kill_conserves_energy(self):
+        """Companion termination must renormalize the hero lane (hero-
+        wavelength MIS in the delta limit): with an infinitesimal Cauchy
+        coefficient the refraction directions are unchanged, so the image
+        mean must match the achromatic render — the round-4 advisor bug had
+        transported dispersive light ~N_WAVES x too dark."""
+        scene = caustic_scene()
+        cc = jnp.where(scene.materials.bsdf_type == 2, 1e-7, 0.0)
+        disp = scene._replace(materials=scene.materials._replace(cauchy_c=cc))
+        cfg = PTConfig(max_depth=6, rr_start=99)
+        a = np.asarray(render_spectral(scene, 48, 48, 32, jnp.uint32(5), cfg))
+        b = np.asarray(render_spectral(disp, 48, 48, 32, jnp.uint32(5), cfg))
+        np.testing.assert_allclose(b.mean(), a.mean(), rtol=0.03)
+
     def test_gradient_spectral_params(self):
         """Gradients flow w.r.t. spectral parameters: radiance scale matches
         FD; d/d(cauchy_c) is finite and nonzero through refraction."""
