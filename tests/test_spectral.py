@@ -5,6 +5,7 @@ Math/Spectrum.cu (CIE machinery), SceneTypes/Dispersion.h (Cauchy IOR)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from cudatracerlib_tpu.math import spectral as sp
 from cudatracerlib_tpu.render.path_tracer import PTConfig, render
@@ -96,9 +97,14 @@ class TestSpectralRender:
         b = np.asarray(render_spectral(disp, 48, 48, 32, jnp.uint32(5), cfg))
         np.testing.assert_allclose(b.mean(), a.mean(), rtol=0.03)
 
+    @pytest.mark.subproc
     def test_gradient_spectral_params(self):
         """Gradients flow w.r.t. spectral parameters: radiance scale matches
-        FD; d/d(cauchy_c) is finite and nonzero through refraction."""
+        FD; d/d(cauchy_c) is finite and nonzero through refraction.
+
+        subproc-isolated: grad-of-spectral-render is the other program
+        class that stresses the accumulated XLA:CPU compiler state
+        (see conftest)."""
         scene = furnace_scene(albedo=0.5, env_radiance=1.0)
         cfg = PTConfig(max_depth=3, rr_start=99)
 
