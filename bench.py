@@ -186,9 +186,15 @@ def bench_cornell():
 
 
 def bench_glossy():
-    """Config 2: microfacet conductor/dielectric + HDR envmap, MIS PT 256^2."""
-    from cudatracerlib_tpu.render.path_tracer import (PTConfig, render_counted,
-                                                      render_progressive)
+    """Config 2: microfacet conductor/dielectric + HDR envmap, MIS PT 256^2.
+
+    Engine: wavefront pool (round 5) — same shared surface_bounce shading
+    as the megakernel, but refill-on-death keeps every lane alive instead
+    of paying full-width bounces on a dying population (the reference's
+    WavefrontPathTracer architecture). The 5 progressive passes become one
+    pool run with 5x the camera-ray supply."""
+    from cudatracerlib_tpu.render.path_tracer import PTConfig
+    from cudatracerlib_tpu.render.wavefront import render_wavefront_counted
     from cudatracerlib_tpu.scene.shapes import glossy_scene
 
     W = H = 256
@@ -196,14 +202,14 @@ def bench_glossy():
     cfg = PTConfig(max_depth=depth)
     scene = glossy_scene()
 
-    _, rays1 = render_counted(scene, W, H, spp, 3, cfg)
-    rays = float(rays1) * n_pass
+    def run(seed=7):
+        img, rays = render_wavefront_counted(scene, W, H, spp * n_pass, seed,
+                                             cfg)
+        _sync(img)
+        return float(rays)
 
-    def run(seed=np.uint32(7)):
-        _sync(render_progressive(scene, W, H, spp, n_pass, seed, cfg))
-
-    run(np.uint32(0))
-    dt = _timeit(run, label="glossy")
+    rays = run(0)  # warm + measured ray count
+    dt = _timeit(lambda: run(7), label="glossy")
     return _report("Mrays/sec/chip (glossy+envmap MIS PT 256^2)", rays / dt / 1e6)
 
 

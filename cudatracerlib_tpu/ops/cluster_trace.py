@@ -407,10 +407,17 @@ def _coherence_key(lo, hi, o, d):
     return (m_o << jnp.uint32(3 * dbits)) | m_d
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "sort_rays"))
+@functools.partial(jax.jit, static_argnames=("any_hit", "sort_rays", "refine"))
 def intersect_clusters(cs: ClusterScene, o, d, t_min=1e-4, t_max=1e30,
-                       any_hit: bool = False, sort_rays: bool = True) -> Hit:
-    """Trace a ray batch against a cluster-decomposed scene."""
+                       any_hit: bool = False, sort_rays: bool = True,
+                       refine: bool = True) -> Hit:
+    """Trace a ray batch against a cluster-decomposed scene.
+
+    `refine=False` skips the winner's exact t/u/v recompute (the 12
+    per-lane Woop takes, ~25 ms at 1M lanes): the returned t is the
+    in-kernel tag-quantized key and bary is zero. Callers on the fused
+    shade-pack path recompute exact t/u/v from the pack's Woop columns
+    instead (scene/shade_pack.pack_interaction)."""
     wlo, whi = cs.world_bounds
     if sort_rays:
         key = _coherence_key(wlo, whi, o, d)
@@ -419,7 +426,8 @@ def intersect_clusters(cs: ClusterScene, o, d, t_min=1e-4, t_max=1e30,
         tmin_s = t_min[order] if jnp.ndim(t_min) > 0 else t_min
         tmax_s = t_max[order] if jnp.ndim(t_max) > 0 else t_max
         res = intersect_clusters(cs, o[order], d[order], tmin_s, tmax_s,
-                                 any_hit=any_hit, sort_rays=False)
+                                 any_hit=any_hit, sort_rays=False,
+                                 refine=refine)
         hit, dbgv = (res, None) if isinstance(res, Hit) else res
         hit = Hit(t=hit.t[inv_order], prim=hit.prim[inv_order],
                   bary=hit.bary[inv_order], valid=hit.valid[inv_order])
@@ -512,6 +520,12 @@ def intersect_clusters(cs: ClusterScene, o, d, t_min=1e-4, t_max=1e30,
     c_safe = jnp.maximum(cluster, 0)
     code_full = c_safe * ct + jnp.where(valid, local, 0)
     prim = jnp.where(valid, cs.prim.reshape(-1)[code_full], -1)
+    if not refine:
+        hit = Hit(t=t, prim=prim, bary=jnp.zeros((B, 2), jnp.float32),
+                  valid=valid)
+        if _dbg_mode:
+            return hit, dbg.reshape(-1, ROWS, LANES)[:, 0:3, 0]
+        return hit
     wflat = cs.wmat.reshape(-1)
     base = c_safe * (8 * 3 * ct) + jnp.where(valid, local, 0)
     rows = jnp.stack(

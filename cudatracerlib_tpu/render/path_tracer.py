@@ -350,7 +350,7 @@ class BounceOut(NamedTuple):
 
 def surface_bounce(scene: Scene, config: PTConfig, *, o, d, active,
                    throughput, prev_pdf, prev_delta, eta_scale, path_len,
-                   sampler: Sampler, depth, cone=None) -> BounceOut:
+                   sampler: Sampler, depth, cone=None, pack=None) -> BounceOut:
     """One full surface-path bounce: intersect -> material maps / alpha test
     -> env + area-light emission with MIS -> NEE -> BSDF sample -> RR.
 
@@ -359,7 +359,12 @@ def surface_bounce(scene: Scene, config: PTConfig, *, o, d, active,
     engines shade identically by construction — the TPU analogue of the
     reference sharing PathTrace device code between PathTracer.cu and
     WavefrontPathTracer.cu. `depth` may be a scalar (scan index) or a per-lane
-    (B,) vector (wavefront pool depth)."""
+    (B,) vector (wavefront pool depth).
+
+    `pack`: optional (Tp, 64) shade-pack table (scene/shade_pack.py) — when
+    set, the interaction + material params come from ONE fused one-hot MXU
+    gather instead of ~37 per-lane takes, and the intersector skips its own
+    winner decode (exact t/u/v recomputed from the pack's Woop columns)."""
     B = o.shape[0]
     lt = config.light_types
     has_env_static = lt is None or (lights_mod.INFINITE in lt) or (lights_mod.CONSTANT_ENV in lt)
@@ -368,6 +373,7 @@ def surface_bounce(scene: Scene, config: PTConfig, *, o, d, active,
     has_nested = bt is None or any(
         x in bt for x in (bsdf_mod.COATING, bsdf_mod.ROUGHCOATING, bsdf_mod.BLEND)
     )
+    from ..scene import shade_pack as sp_mod
     from ..scene import textures as tex_mod
 
     filter_textures = cone is not None and (
@@ -375,8 +381,16 @@ def surface_bounce(scene: Scene, config: PTConfig, *, o, d, active,
     )
 
     s = sampler
-    hit = scene_mod.scene_intersect(scene, o, d)
-    it = make_interaction(scene, o, d, hit, flat=config.flat_shading)
+    hit = scene_mod.scene_intersect(scene, o, d, refine=pack is None)
+    if pack is not None:
+        from ..ops.shade_gather import packed_gather
+
+        row = packed_gather(pack, jnp.maximum(hit.prim, 0))
+        it = sp_mod.pack_interaction(row, o, d, hit)
+        hit = hit._replace(t=it.t)
+    else:
+        row = None
+        it = make_interaction(scene, o, d, hit, flat=config.flat_shading)
     found_any = hit.valid & active
     if config.normal_maps or config.height_maps:
         it = scene_mod.apply_material_maps(
@@ -415,7 +429,9 @@ def surface_bounce(scene: Scene, config: PTConfig, *, o, d, active,
     # ---- emission at hit (MIS against NEE, PathTracer.cu:62-86) ----
     wo_world = -d
     if has_area_static:
-        mat_light = scene.materials.light_id[it.mat_id]
+        mat_light = (row[sp_mod.LIGHT_ID].astype(jnp.int32)
+                     if row is not None
+                     else scene.materials.light_id[it.mat_id])
         emissive = found & (mat_light >= 0)
         lid = (jnp.int32(0) if scene.n_lights == 1
                else jnp.maximum(mat_light, 0))
@@ -434,13 +450,17 @@ def surface_bounce(scene: Scene, config: PTConfig, *, o, d, active,
     if filter_textures:
         r0, slope = cone
         path_t = path_len + jnp.where(found_any, hit.t, 0.0)
-        uv_width = (r0 + slope * path_t) * jnp.take(
-            scene.shading.uv_density, it.prim
-        )
+        uv_width = (r0 + slope * path_t) * (
+            row[sp_mod.UV_DENSITY] if row is not None
+            else jnp.take(scene.shading.uv_density, it.prim))
     else:
         path_t = path_len
         uv_width = None
-    mp = gather_mat_params(scene, it, config.tex_types, uv_width=uv_width)
+    if row is not None:
+        mp = sp_mod.pack_mat_params(scene, row, it.uv, config.tex_types,
+                                    uv_width=uv_width)
+    else:
+        mp = gather_mat_params(scene, it, config.tex_types, uv_width=uv_width)
     if config.regularization > 0.0:
         mp = _regularize(mp, depth, config.regularization)
     wo_local = it.frame.to_local(wo_world)
@@ -583,7 +603,12 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig,
     sum over bounces of alive closest-hit lanes plus NEE shadow rays cast —
     matching the reference's enqueued-ray counter semantics
     (Kernel/TraceHelper.h:52-53), NOT the padded lane count."""
+    from ..scene import shade_pack as sp_mod
+
     B = o.shape[0]
+    # fused shade path: build the packed table ONCE, outside the bounce scan
+    pack = (sp_mod.build_shade_pack(scene)
+            if sp_mod.pack_enabled(scene, config.flat_shading) else None)
     init = _Carry(
         o=o,
         d=d,
@@ -606,7 +631,7 @@ def trace_radiance(scene: Scene, o, d, sampler: Sampler, config: PTConfig,
             throughput=carry.throughput, prev_pdf=carry.prev_pdf,
             prev_delta=carry.prev_delta, eta_scale=carry.eta_scale,
             path_len=carry.path_len, sampler=carry.sampler,
-            depth=depth, cone=cone,
+            depth=depth, cone=cone, pack=pack,
         )
         cont = out.cont
         new_carry = _Carry(

@@ -169,8 +169,12 @@ CLUSTER_MIN_TRIS = traversal_mod.DENSE_MAX_TRIS + 1
 
 
 def scene_intersect(scene: "Scene", o, d, t_min=1e-4, t_max=jnp.inf,
-                    any_hit: bool = False):
-    """Backend/size-dispatched closest-hit (the scene-level traceRay)."""
+                    any_hit: bool = False, refine: bool = True):
+    """Backend/size-dispatched closest-hit (the scene-level traceRay).
+
+    `refine=False` (fused shade-pack path): the cluster intersector skips
+    its winner Woop decode — t comes back tag-quantized, bary zero — and
+    the caller recomputes exact t/u/v from the pack's Woop columns."""
     import jax
 
     if scene.instances:
@@ -189,8 +193,8 @@ def scene_intersect(scene: "Scene", o, d, t_min=1e-4, t_max=jnp.inf,
 
         sg = jax.lax.stop_gradient
         raw = intersect_clusters(sg(scene.clusters), sg(o), sg(d), sg(t_min),
-                                 sg(t_max), any_hit=any_hit)
-        if any_hit:  # occlusion queries only consume .valid — skip refinement
+                                 sg(t_max), any_hit=any_hit, refine=refine)
+        if any_hit or not refine:
             return raw
         return traversal_mod.refine_hit(scene.bvh, o, d, raw)
     return traversal_mod.intersect_auto(scene.bvh, o, d, t_min, t_max, any_hit=any_hit)
