@@ -174,46 +174,63 @@ def make_sharded_ppm(mesh: Mesh, width: int, height: int, spp: int,
     pixel_id = pixel_id.reshape(n_sp, spp // n_sp, n_dp, n_px // n_dp)
     sample_idx = sample_idx.reshape(n_sp, spp // n_sp, n_dp, n_px // n_dp)
 
-    def _shard(scene: Scene, pid, sid, seed, radius):
-        cfg_local = config._replace(n_photons=config.n_photons // n_dev)
-        dev = jax.lax.axis_index("dp") * n_sp + jax.lax.axis_index("sp")
-        pm_local = ppm_mod.trace_photons(
-            scene, cfg_local.n_photons,
-            seed ^ (dev.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)),
-            cfg_local.base,
-        )
-        # photon exchange: the union map is replicated on every chip
-        pm = jax.tree.map(
-            lambda x: jax.lax.all_gather(
-                jax.lax.all_gather(x, "sp", axis=0, tiled=True),
-                "dp", axis=0, tiled=True),
-            pm_local,
-        )
-        # per-pass power normalization already divided by the LOCAL count;
-        # rescale to the global photon count
-        pm = pm._replace(power=pm.power / n_dev)
-        grids = ppm_mod.build_photon_grids(scene, pm, config)
-        film = ppm_mod.ppm_eye_pass(
-            scene, pm, grids, pid.reshape(-1), sid.reshape(-1), seed, radius,
-            width, height, config,
-        )
-        rgb = jax.lax.psum(jax.lax.psum(film.rgb, "dp"), "sp")
-        weight = jax.lax.psum(jax.lax.psum(film.weight, "dp"), "sp")
-        return rgb, weight
+    def _build(cfg: "ppm_mod.PPMConfig"):
+        def _shard(scene: Scene, pid, sid, seed, radius):
+            cfg_local = cfg._replace(n_photons=cfg.n_photons // n_dev)
+            dev = jax.lax.axis_index("dp") * n_sp + jax.lax.axis_index("sp")
+            pm_local = ppm_mod.trace_photons(
+                scene, cfg_local.n_photons,
+                seed ^ (dev.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)),
+                cfg_local.base,
+            )
+            # photon exchange: the union map is replicated on every chip
+            pm = jax.tree.map(
+                lambda x: jax.lax.all_gather(
+                    jax.lax.all_gather(x, "sp", axis=0, tiled=True),
+                    "dp", axis=0, tiled=True),
+                pm_local,
+            )
+            # per-pass power normalization already divided by the LOCAL
+            # count; rescale to the global photon count
+            pm = pm._replace(power=pm.power / n_dev)
+            grids = ppm_mod.build_photon_grids(scene, pm, cfg)
+            film = ppm_mod.ppm_eye_pass(
+                scene, pm, grids, pid.reshape(-1), sid.reshape(-1), seed,
+                radius, width, height, cfg,
+            )
+            rgb = jax.lax.psum(jax.lax.psum(film.rgb, "dp"), "sp")
+            weight = jax.lax.psum(jax.lax.psum(film.weight, "dp"), "sp")
+            return rgb, weight
 
-    shard_fn = jax.shard_map(
-        _shard,
-        mesh=mesh,
-        in_specs=(P(), P("sp", None, "dp", None), P("sp", None, "dp", None),
-                  P(), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
+        shard_fn = jax.shard_map(
+            _shard,
+            mesh=mesh,
+            in_specs=(P(), P("sp", None, "dp", None),
+                      P("sp", None, "dp", None), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
 
-    @jax.jit
+        @jax.jit
+        def run(scene: Scene, seed, radius):
+            rgb, weight = shard_fn(scene, pixel_id, sample_idx, seed, radius)
+            return rgb / jnp.maximum(weight, 1e-8)[..., None]
+
+        return run
+
+    # base-PTConfig specialization happens lazily per scene (round 5: the
+    # sharded path used to run with bsdf_types=None — every BSDF family
+    # evaluated on every lane, and the static photon-kernel dispatch in
+    # ppm_eye_pass could never fire)
+    cache: dict = {}
+
     def ppm_fn(scene: Scene, seed, radius):
-        rgb, weight = shard_fn(scene, pixel_id, sample_idx, seed, radius)
-        return rgb / jnp.maximum(weight, 1e-8)[..., None]
+        from ..render.path_tracer import specialize_config
+
+        base = specialize_config(scene, config.base)
+        if base not in cache:
+            cache[base] = _build(config._replace(base=base))
+        return cache[base](scene, seed, radius)
 
     return ppm_fn
 

@@ -179,9 +179,27 @@ def render_ppm_pass(scene: Scene, width: int, height: int, spp: int, seed,
                      radius, config)
 
 
+def ppm_uses_kernel(cfg: PTConfig) -> bool:
+    """Static: the photon-major MXU estimate applies when every possible
+    gather surface is DIFFUSE (f = albedo/pi factors out of the photon
+    sum) and we are on an accelerator backend (ops/photon_gather.py)."""
+    delta_types = {bsdf_mod.DIELECTRIC, bsdf_mod.THINDIELECTRIC,
+                   bsdf_mod.CONDUCTOR}
+    if cfg.bsdf_types is None:
+        return False
+    smooth_types = set(cfg.bsdf_types) - delta_types
+    return (smooth_types <= {bsdf_mod.DIFFUSE}
+            and jax.devices()[0].platform not in ("cpu",))
+
+
 def build_photon_grids(scene: Scene, pm: PhotonMap, config: PPMConfig):
     """(global grid, caustic grid | None): caustic photons get their own
-    grid + smaller radius when config.caustic_map (PPPMTracer.h:152)."""
+    grid + smaller radius when config.caustic_map (PPPMTracer.h:152).
+
+    The photon-major kernel path never queries these grids — returns
+    (None, None) there so two argsort-based grid builds are skipped."""
+    if ppm_uses_kernel(config.base):
+        return (None, None)
     lo = scene.bvh.world_min - 1e-3
     hi = scene.bvh.world_max + 1e-3
     if not config.caustic_map:
@@ -328,6 +346,39 @@ def ppm_eye_pass(scene: Scene, pm: PhotonMap, grids, pixel_id, sample_idx,
                           0.0)
 
     # ---- photon density estimate (EntryEstimator.h:25-59) ----
+    # Fast path (round 5): when every possible gather surface is DIFFUSE
+    # (statically known from cfg.bsdf_types), f = albedo/pi factors out of
+    # the per-photon sum and the whole estimate runs photon-major through
+    # ops/photon_gather.py — one MXU sweep instead of (B, K) dynamic
+    # gathers (~60x measured; VERDICT r4 item 2).
+    use_kernel = ppm_uses_kernel(cfg)
+
+    def density_estimate_packed(sel_valid, r):
+        from ..ops import photon_gather as pg
+
+        lo = scene.bvh.world_min - 1e-3
+        hi = scene.bvh.world_max + 1e-3
+        tiles, aabbs = pg.build_photon_tiles(
+            pm.p, pm.power, pm.n, pm.valid & sel_valid, lo, hi,
+            config.grid_res, wi=pm.wi)
+        # cell-sort the queries: the kernel's per-block tile culling needs
+        # spatially compact query blocks
+        cid = hashgrid.cell_index(jnp.asarray(lo, jnp.float32),
+                                  config.grid_res
+                                  / jnp.maximum(jnp.asarray(hi - lo,
+                                                            jnp.float32),
+                                                1e-9),
+                                  config.grid_res, final.gp)
+        order = jnp.argsort(jnp.where(final.gathered, cid,
+                                      config.grid_res ** 3))
+        inv = jnp.argsort(order)
+        flux, _ = pg.photon_density_tpu(
+            tiles, aabbs, final.gp[order], final.gn[order],
+            final.gathered[order], r)
+        flux = flux[inv]
+        # f_raw = albedo/pi (diffuse); kernel norm 2/(pi r^2)
+        return mp_g.albedo * INV_PI * flux * (2.0 / (PI * r * r))
+
     def density_estimate(g, sel_valid, r):
         idx, valid_n = hashgrid.query_sphere(g, final.gp, r, config.max_gather)
         ph_p = pm.p[idx]
@@ -364,7 +415,14 @@ def ppm_eye_pass(scene: Scene, pm: PhotonMap, grids, pixel_id, sample_idx,
             axis=1,
         )
 
-    if grid_caustic is None:
+    if use_kernel:
+        if not config.caustic_map:
+            L = L + final.w * density_estimate_packed(pm.valid, radius)
+        else:
+            L = L + final.w * density_estimate_packed(~pm.caustic, radius)
+            L = L + final.w * density_estimate_packed(
+                pm.caustic, radius * config.caustic_radius_scale)
+    elif grid_caustic is None:
         L = L + final.w * density_estimate(grid, pm.valid, radius)
     else:
         L = L + final.w * density_estimate(grid, pm.valid & ~pm.caustic,
