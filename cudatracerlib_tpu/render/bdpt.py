@@ -33,6 +33,7 @@ from ..scene import bsdf as bsdf_mod
 from ..scene import lights as lights_mod
 from ..scene import sensors
 from ..scene import scene as scene_mod
+from ..scene import shade_pack as sp_mod
 from ..scene.scene import Scene, gather_mat_params, make_interaction
 from .path_tracer import PTConfig, _light_select_pmf, _offset_ray, _select_light, specialize_config
 
@@ -114,12 +115,15 @@ def _trace_light_subpath(scene: Scene, B: int, seed, cfg: PTConfig, s_max: int):
     init = _C(o=o, d=d, w=w, d_vcm=d_vcm, d_vc=d_vc,
               alive=jnp.ones((B,), bool), smp=smp)
 
+    pack = sp_mod.get_pack(scene)
+
     def step(c: _C, depth):
         n_rays = jnp.sum(c.alive.astype(jnp.float32))
-        hit = scene_mod.scene_intersect(scene, c.o, c.d)
-        it = make_interaction(scene, c.o, c.d, hit)
+        hit = scene_mod.scene_intersect(scene, c.o, c.d,
+                                        refine=pack is None)
+        it, mp = sp_mod.hit_shading(scene, c.o, c.d, hit, pack,
+                                    cfg.tex_types)
         found = hit.valid & c.alive
-        mp = gather_mat_params(scene, it, cfg.tex_types)
 
         cos_in = jnp.maximum(jnp.abs(dot(it.frame.n, -c.d)), 1e-6)
         dist2 = jnp.maximum(it.t * it.t, 1e-12)
@@ -243,12 +247,15 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
         alive=jnp.ones((B,), bool), smp=smp, n_rays=jnp.zeros(()),
     )
 
+    pack = sp_mod.get_pack(scene)
+
     def eye_step(c: _E, depth):
         n_rays = c.n_rays + jnp.sum(c.alive.astype(jnp.float32))
-        hit = scene_mod.scene_intersect(scene, c.o, c.d)
-        it = make_interaction(scene, c.o, c.d, hit)
+        hit = scene_mod.scene_intersect(scene, c.o, c.d,
+                                        refine=pack is None)
+        it, mp = sp_mod.hit_shading(scene, c.o, c.d, hit, pack,
+                                    cfg.tex_types)
         found = hit.valid & c.alive
-        mp = gather_mat_params(scene, it, cfg.tex_types)
 
         cos_in = jnp.maximum(jnp.abs(dot(it.frame.n, -c.d)), 1e-6)
         dist2 = jnp.maximum(it.t * it.t, 1e-12)

@@ -22,6 +22,7 @@ from ..scene import bsdf as bsdf_mod
 from ..scene import lights as lights_mod
 from ..scene import sensors
 from ..scene import scene as scene_mod
+from ..scene import shade_pack as sp_mod
 from ..scene.scene import Scene, gather_mat_params, make_interaction
 from .path_tracer import PTConfig, _offset_ray, _select_light, specialize_config
 
@@ -57,11 +58,14 @@ def _lt_impl(scene: Scene, width: int, height: int, n_paths: int, seed,
 
     init = _C(o=o, d=d, w=w, alive=jnp.ones((B,), bool), smp=smp)
 
+    pack = sp_mod.get_pack(scene)
+
     def bounce(c: _C, depth):
-        hit = scene_mod.scene_intersect(scene, c.o, c.d)
-        it = make_interaction(scene, c.o, c.d, hit)
+        hit = scene_mod.scene_intersect(scene, c.o, c.d,
+                                        refine=pack is None)
+        it, mp = sp_mod.hit_shading(scene, c.o, c.d, hit, pack,
+                                    config.tex_types)
         found = hit.valid & c.alive
-        mp = gather_mat_params(scene, it, config.tex_types)
 
         # ---- connect to camera (splat) ----
         uv, d_cam, dist_cam, importance, in_frustum = sensors.sample_direct(

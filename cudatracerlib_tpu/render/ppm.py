@@ -32,6 +32,7 @@ from ..scene import bsdf as bsdf_mod
 from ..scene import lights as lights_mod
 from ..scene import sensors
 from ..scene import scene as scene_mod
+from ..scene import shade_pack as sp_mod
 from ..scene.scene import Scene, gather_mat_params, make_interaction
 from .path_tracer import PTConfig, _light_select_pmf, _offset_ray, _select_light, specialize_config
 
@@ -77,12 +78,15 @@ def trace_photons(scene: Scene, n_photons: int, seed, config: PTConfig,
     init = _C(o=o, d=d, w=w, alive=jnp.ones((B,), bool),
               spec_chain=jnp.ones((B,), bool), smp=smp)
 
+    pack = sp_mod.get_pack(scene)
+
     def bounce(c: _C, depth):
         n_rays = jnp.sum(c.alive.astype(jnp.float32))
-        hit = scene_mod.scene_intersect(scene, c.o, c.d)
-        it = make_interaction(scene, c.o, c.d, hit)
+        hit = scene_mod.scene_intersect(scene, c.o, c.d,
+                                        refine=pack is None)
+        it, mp = sp_mod.hit_shading(scene, c.o, c.d, hit, pack,
+                                    config.tex_types)
         found = hit.valid & c.alive
-        mp = gather_mat_params(scene, it, config.tex_types)
 
         # deposit at non-delta surfaces; first-bounce (direct) photons are
         # excluded because the eye pass handles direct lighting via NEE
@@ -271,13 +275,16 @@ def ppm_eye_pass(scene: Scene, pm: PhotonMap, grids, pixel_id, sample_idx,
         gprim=jnp.zeros((B,), jnp.int32), smp=smp,
     )
 
+    pack = sp_mod.get_pack(scene)
+
     def eye_bounce(c: _E, depth):
         """Walk through specular surfaces to the first smooth vertex
         (PPPMTracer_EyePass camera walk, <=5 specular bounces)."""
-        hit = scene_mod.scene_intersect(scene, c.o, c.d)
-        it = make_interaction(scene, c.o, c.d, hit)
+        hit = scene_mod.scene_intersect(scene, c.o, c.d,
+                                        refine=pack is None)
+        it, mp = sp_mod.hit_shading(scene, c.o, c.d, hit, pack,
+                                    cfg.tex_types)
         found = hit.valid & c.alive
-        mp = gather_mat_params(scene, it, cfg.tex_types)
 
         # emission pickup along the specular chain
         mat_light = scene.materials.light_id[it.mat_id]

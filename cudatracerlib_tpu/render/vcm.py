@@ -27,6 +27,7 @@ from ..scene import bsdf as bsdf_mod
 from ..scene import lights as lights_mod
 from ..scene import scene as scene_mod
 from ..scene import sensors
+from ..scene import shade_pack as sp_mod
 from ..scene.scene import Scene, gather_mat_params, make_interaction
 from .bdpt import _camera_pdf_w
 from .path_tracer import (PTConfig, _light_select_pmf, _offset_ray,
@@ -93,11 +94,14 @@ def _light_walk(scene: Scene, B, seed, cfg: PTConfig, s_max, mis_vc, mis_vm):
 
     init = _C(o, d, w, d_vcm, d_vc, d_vm, jnp.ones((B,), bool), smp)
 
+    pack = sp_mod.get_pack(scene)
+
     def step(c: _C, depth):
-        hit = scene_mod.scene_intersect(scene, c.o, c.d)
-        it = make_interaction(scene, c.o, c.d, hit)
+        hit = scene_mod.scene_intersect(scene, c.o, c.d,
+                                        refine=pack is None)
+        it, mp = sp_mod.hit_shading(scene, c.o, c.d, hit, pack,
+                                    cfg.tex_types)
         found = hit.valid & c.alive
-        mp = gather_mat_params(scene, it, cfg.tex_types)
 
         cos_in = jnp.maximum(jnp.abs(dot(it.frame.n, -c.d)), 1e-6)
         dist2 = jnp.maximum(it.t * it.t, 1e-12)
@@ -225,11 +229,14 @@ def _vcm_impl(scene: Scene, width: int, height: int, spp: int, seed, radius,
               B / jnp.maximum(cam_pdf_w0, 1e-9), jnp.zeros((B,)), jnp.zeros((B,)),
               jnp.ones((B,), bool), smp)
 
+    pack = sp_mod.get_pack(scene)
+
     def eye_step(c: _E, depth):
-        hit = scene_mod.scene_intersect(scene, c.o, c.d)
-        it = make_interaction(scene, c.o, c.d, hit)
+        hit = scene_mod.scene_intersect(scene, c.o, c.d,
+                                        refine=pack is None)
+        it, mp = sp_mod.hit_shading(scene, c.o, c.d, hit, pack,
+                                    cfg.tex_types)
         found = hit.valid & c.alive
-        mp = gather_mat_params(scene, it, cfg.tex_types)
 
         cos_in = jnp.maximum(jnp.abs(dot(it.frame.n, -c.d)), 1e-6)
         dist2 = jnp.maximum(it.t * it.t, 1e-12)

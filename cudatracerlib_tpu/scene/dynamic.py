@@ -262,7 +262,11 @@ class DynamicScene:
                 mat_records.append(rec)
                 recs.append((node.to_world, mid))
             inst_records.append(recs)
-        groups = build_instance_groups(inst_records, prim_bases)
+        obj_bounds = []
+        for mesh_id in by_mesh:
+            v = self._meshes[mesh_id].vertices.reshape(-1, 3)
+            obj_bounds.append((v.min(0), v.max(0)))
+        groups = build_instance_groups(inst_records, prim_bases, obj_bounds)
 
         # shading tables: OBJECT space, concatenated in prim_base order;
         # mat_id column holds each mesh's first instance's material (the

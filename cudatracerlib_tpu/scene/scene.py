@@ -75,6 +75,11 @@ class Materials(NamedTuple):
     # Cauchy dispersion coefficient C (um^2): n(lambda) = eta + C*(1/l^2 -
     # 1/l_d^2), l_d = 589.3 nm; 0 = achromatic (render/spectral.py)
     cauchy_c: jnp.ndarray    # (M,)
+    # Sellmeier coefficients (SceneTypes/Dispersion.h): n^2 = 1 + sum B_i
+    # l^2/(l^2 - C_i); any B > 0 selects Sellmeier over Cauchy for the
+    # material (render/spectral.py dispersive_eta)
+    sellmeier_b: jnp.ndarray  # (M, 3)
+    sellmeier_c: jnp.ndarray  # (M, 3)
     # BSSRDF subsurface medium attached to the material (Engine/Material.h:66
     # GetBSSRDF): on refraction into an sss>0 surface the path random-walks
     # the homogeneous interior (render/path_tracer.py _sss_walk)
@@ -112,6 +117,8 @@ class Materials(NamedTuple):
             alpha_ref=np.full(m, 0.5, np.float32),
             alpha_ref_color=np.zeros((m, 3), np.float32),
             cauchy_c=np.zeros(m, np.float32),
+            sellmeier_b=np.zeros((m, 3), np.float32),
+            sellmeier_c=np.ones((m, 3), np.float32) * 1e6,  # far poles
             sss=np.zeros(m, np.int32),
             sss_sigma_s=np.zeros((m, 3), np.float32),
             sss_sigma_a=np.zeros((m, 3), np.float32),

@@ -159,6 +159,37 @@ def pack_interaction(rows, o, d, hit):
     )
 
 
+def get_pack(scene, flat_shading: bool = False):
+    """build_shade_pack(scene) when the fused path applies, else None.
+    Call ONCE per program, outside bounce loops."""
+    return build_shade_pack(scene) if pack_enabled(scene, flat_shading) \
+        else None
+
+
+def hit_shading(scene, o, d, hit, pack, tex_types=None, uv_width=None,
+                flat: bool = False):
+    """(Interaction, MatParams) for a hit batch — ONE fused one-hot MXU
+    gather when `pack` is set (scene_intersect should then be called with
+    refine=(pack is None)), the classic take/select path otherwise. The
+    shared entry point for every light-transport walker (PPM photon/eye
+    walks, BDPT/VCM subpaths, the light tracer)."""
+    import jax.numpy as _jnp
+
+    if pack is not None:
+        from ..ops.shade_gather import packed_gather
+
+        rows = packed_gather(pack, _jnp.maximum(hit.prim, 0))
+        it = pack_interaction(rows, o, d, hit)
+        mp = pack_mat_params(scene, rows, it.uv, tex_types,
+                             uv_width=uv_width)
+        return it, mp
+    from .scene import gather_mat_params, make_interaction
+
+    it = make_interaction(scene, o, d, hit, flat=flat)
+    mp = gather_mat_params(scene, it, tex_types, uv_width=uv_width)
+    return it, mp
+
+
 def pack_mat_params(scene, rows, uv, tex_types=None, uv_width=None):
     """MatParams from pack columns + texture evaluation at uv (the fused
     gather_mat_params: every small_gather select chain becomes a column

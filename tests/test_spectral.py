@@ -42,6 +42,23 @@ class TestSpectralMath:
         assert n450 > n589 > n650
         assert abs(n589 - 1.5) < 1e-4
 
+    def test_sellmeier_eta(self):
+        """Sellmeier coefficients (BK7) give the catalog index and the
+        normal-dispersion ordering; zero B falls back to Cauchy."""
+        from cudatracerlib_tpu.math.dispersion import SELLMEIER_BK7
+
+        b = jnp.asarray(SELLMEIER_BK7[0])
+        c = jnp.asarray(SELLMEIER_BK7[1])
+        n = [float(dispersive_eta(jnp.float32(0.0), jnp.float32(0.0),
+                                  jnp.float32(l), b, c))
+             for l in (450.0, 587.6, 650.0)]
+        assert n[0] > n[1] > n[2]
+        assert abs(n[1] - 1.5168) < 2e-3  # BK7 n_d
+        nz = float(dispersive_eta(jnp.float32(1.5), jnp.float32(0.0),
+                                  jnp.float32(587.6), jnp.zeros(3),
+                                  jnp.ones(3) * 1e6))
+        assert abs(nz - 1.5) < 1e-6
+
 
 class TestSpectralRender:
     def test_furnace_spectral_matches_rgb(self):
@@ -96,6 +113,113 @@ class TestSpectralRender:
         a = np.asarray(render_spectral(scene, 48, 48, 32, jnp.uint32(5), cfg))
         b = np.asarray(render_spectral(disp, 48, 48, 32, jnp.uint32(5), cfg))
         np.testing.assert_allclose(b.mean(), a.mean(), rtol=0.03)
+
+    def test_rough_dispersive_mis_conserves_energy(self):
+        """Companion-preserving hero MIS through ROUGH dispersive
+        refraction (Wilkie et al. §4): with an infinitesimal Cauchy
+        coefficient the per-wavelength lobes coincide, so the image mean
+        must match the achromatic render — wrong MIS normalization would
+        scale transmission through rough glass."""
+        scene = caustic_scene()
+        # turn the glass sphere rough
+        mats = scene.materials._replace(
+            bsdf_type=jnp.where(scene.materials.bsdf_type == 2, 4,
+                                scene.materials.bsdf_type),
+            alpha_u=jnp.full_like(scene.materials.alpha_u, 0.15),
+            alpha_v=jnp.full_like(scene.materials.alpha_v, 0.15))
+        rough = scene._replace(materials=mats)
+        cc = jnp.where(mats.bsdf_type == 4, 1e-7, 0.0)
+        disp = rough._replace(materials=mats._replace(cauchy_c=cc))
+        cfg = PTConfig(max_depth=6, rr_start=99)
+        a = np.asarray(render_spectral(rough, 48, 48, 24, jnp.uint32(9),
+                                       cfg))
+        b = np.asarray(render_spectral(disp, 48, 48, 24, jnp.uint32(9),
+                                       cfg))
+        np.testing.assert_allclose(b.mean(), a.mean(), rtol=0.04)
+
+    def test_spectral_vol_furnace_matches_rgb(self):
+        """A GRAY homogeneous medium: the spectral volumetric tracer must
+        reproduce the RGB volpath (sigma uplift + hero sampling calibration
+        — the spectral-media furnace gate, VERDICT r4 item 7)."""
+        from cudatracerlib_tpu.render.spectral import render_spectral_vol
+        from cudatracerlib_tpu.render.volpath import render_vol
+        from cudatracerlib_tpu.scene import media as M
+
+        scene = furnace_scene(albedo=0.6, env_radiance=1.0)
+        lo = np.asarray(scene.bvh.world_min) - 5.0
+        hi = np.asarray(scene.bvh.world_max) + 5.0
+        medium = M.Media.build([
+            dict(type=M.HOMOGENEOUS, sigma_a=[0.02] * 3,
+                 sigma_s=[0.25] * 3, box_min=lo, box_max=hi,
+                 phase_g=0.2)
+        ])
+        cfg = PTConfig(max_depth=4, rr_start=99)
+        a = np.asarray(render_vol(scene, medium, 32, 32, 24,
+                                  jnp.uint32(0), cfg))
+        b = np.asarray(render_spectral_vol(scene, medium, 32, 32, 24,
+                                           jnp.uint32(0), cfg))
+        np.testing.assert_allclose(b.mean((0, 1)), a.mean((0, 1)),
+                                   rtol=0.06)
+
+    def test_spectral_vol_dispersive_sigma(self):
+        """Wavelength-dependent sigma_t: a medium with colored extinction
+        must match the RGB volpath per channel (the sigma spectra uplift
+        through the SAME 3-band basis the RGB path integrates)."""
+        from cudatracerlib_tpu.render.spectral import render_spectral_vol
+        from cudatracerlib_tpu.render.volpath import render_vol
+        from cudatracerlib_tpu.scene import media as M
+
+        scene = furnace_scene(albedo=0.5, env_radiance=1.0)
+        lo = np.asarray(scene.bvh.world_min) - 5.0
+        hi = np.asarray(scene.bvh.world_max) + 5.0
+        medium = M.Media.build([
+            dict(type=M.HOMOGENEOUS, sigma_a=[0.3, 0.1, 0.02],
+                 sigma_s=[0.05, 0.15, 0.3], box_min=lo, box_max=hi,
+                 phase_g=0.0)
+        ])
+        cfg = PTConfig(max_depth=4, rr_start=99)
+        a = np.asarray(render_vol(scene, medium, 32, 32, 32,
+                                  jnp.uint32(1), cfg)).mean((0, 1))
+        b = np.asarray(render_spectral_vol(scene, medium, 32, 32, 32,
+                                           jnp.uint32(1), cfg)).mean((0, 1))
+        # channel ORDER must match (blue suffers least extinction) and the
+        # per-channel means agree within MC noise + the structural
+        # band-vs-channel difference: transmittance is exp(-tau), which is
+        # NONLINEAR, so a band-constant spectrum's CIE projection
+        # legitimately mixes across sRGB channels — exact per-channel
+        # equality with the RGB tracer is not expected (the spectral
+        # result is the physical one)
+        assert b[2] > b[1] > b[0] and a[2] > a[1] > a[0]
+        np.testing.assert_allclose(b, a, rtol=0.12, atol=0.03)
+
+    def test_gradient_spectral_sigma(self):
+        """d(image)/d(sigma_s scale) through the spectral volumetric path
+        matches central finite differences (detached decisions, attached
+        per-wavelength weights)."""
+        from cudatracerlib_tpu.render.spectral import render_spectral_vol
+        from cudatracerlib_tpu.scene import media as M
+
+        scene = furnace_scene(albedo=0.5, env_radiance=1.0)
+        lo = np.asarray(scene.bvh.world_min) - 5.0
+        hi = np.asarray(scene.bvh.world_max) + 5.0
+        medium = M.Media.build([
+            dict(type=M.HOMOGENEOUS, sigma_a=[0.05] * 3,
+                 sigma_s=[0.2, 0.3, 0.4], box_min=lo, box_max=hi,
+                 phase_g=0.0)
+        ])
+        cfg = PTConfig(max_depth=3, rr_start=99)
+
+        def loss(s):
+            m2 = medium._replace(sigma_s=medium.sigma_s * s)
+            return render_spectral_vol(scene, m2, 16, 16, 12,
+                                       jnp.uint32(2), cfg).mean()
+
+        g = float(jax.grad(loss)(jnp.float32(1.0)))
+        eps = 0.05
+        fd = (float(loss(jnp.float32(1 + eps)))
+              - float(loss(jnp.float32(1 - eps)))) / (2 * eps)
+        assert np.isfinite(g) and abs(fd) > 1e-5
+        np.testing.assert_allclose(g, fd, rtol=0.35)
 
     @pytest.mark.subproc
     def test_gradient_spectral_params(self):
