@@ -177,6 +177,7 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
     B = n_px * spp
 
     lverts, rays_total = _trace_light_subpath(scene, B, seed, cfg, config.s_max)
+    pack = sp_mod.get_pack(scene)
 
     # ---- t = 1: splat every light vertex to the camera ----
     splat_film = jnp.zeros((n_px, 3))
@@ -186,8 +187,19 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
         uv, d_cam, dist_cam, _, in_frustum = sensors.sample_direct(cam, lv.p)
         g_hit = traversal.Hit(t=jnp.zeros((B,)), prim=lv.prim,
                               bary=jnp.full((B, 2), 1.0 / 3.0), valid=lv.valid)
-        it_l = make_interaction(scene, lv.p, -lv.wo, g_hit)._replace(p=lv.p)
-        mp_l = gather_mat_params(scene, it_l._replace(uv=lv.uv), cfg.tex_types)
+        if pack is not None:
+            from ..ops.shade_gather import packed_gather
+
+            rows_l = packed_gather(pack, jnp.maximum(lv.prim, 0))
+            it_l = sp_mod.pack_interaction(
+                rows_l, lv.p, -lv.wo, g_hit)._replace(p=lv.p)
+            mp_l = sp_mod.pack_mat_params(scene, rows_l, lv.uv,
+                                          cfg.tex_types)
+        else:
+            it_l = make_interaction(scene, lv.p, -lv.wo,
+                                    g_hit)._replace(p=lv.p)
+            mp_l = gather_mat_params(scene, it_l._replace(uv=lv.uv),
+                                     cfg.tex_types)
         wo_local = it_l.frame.to_local(lv.wo)
         wi_local = it_l.frame.to_local(d_cam)
         f_cam, _ = bsdf_mod.eval_bsdf(mp_l, wo_local, wi_local, active=cfg.bsdf_types)
@@ -246,8 +258,6 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
         d_vcm=B / jnp.maximum(cam_pdf_w0, 1e-9), d_vc=jnp.zeros((B,)),
         alive=jnp.ones((B,), bool), smp=smp, n_rays=jnp.zeros(()),
     )
-
-    pack = sp_mod.get_pack(scene)
 
     def eye_step(c: _E, depth):
         n_rays = c.n_rays + jnp.sum(c.alive.astype(jnp.float32))
@@ -323,8 +333,19 @@ def _bdpt_impl(scene: Scene, width: int, height: int, spp: int, seed,
 
             g_hit = traversal.Hit(t=jnp.zeros((B,)), prim=lv.prim,
                                   bary=jnp.full((B, 2), 1.0 / 3.0), valid=lv.valid)
-            it_l = make_interaction(scene, lv.p, -lv.wo, g_hit)._replace(p=lv.p)
-            mp_l = gather_mat_params(scene, it_l._replace(uv=lv.uv), cfg.tex_types)
+            if pack is not None:
+                from ..ops.shade_gather import packed_gather
+
+                rows_l = packed_gather(pack, jnp.maximum(lv.prim, 0))
+                it_l = sp_mod.pack_interaction(
+                    rows_l, lv.p, -lv.wo, g_hit)._replace(p=lv.p)
+                mp_l = sp_mod.pack_mat_params(scene, rows_l, lv.uv,
+                                              cfg.tex_types)
+            else:
+                it_l = make_interaction(scene, lv.p, -lv.wo,
+                                        g_hit)._replace(p=lv.p)
+                mp_l = gather_mat_params(scene, it_l._replace(uv=lv.uv),
+                                         cfg.tex_types)
             wo_l_loc = it_l.frame.to_local(lv.wo)
             wi_l_loc = it_l.frame.to_local(-dir_c)
             f_lv, pdf_l_fwd = bsdf_mod.eval_bsdf(mp_l, wo_l_loc, wi_l_loc,

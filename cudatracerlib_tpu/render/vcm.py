@@ -151,6 +151,7 @@ def _light_walk(scene: Scene, B, seed, cfg: PTConfig, s_max, mis_vc, mis_vm):
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
 def _vcm_impl(scene: Scene, width: int, height: int, spp: int, seed, radius,
               config: VCMConfig):
+    pack = sp_mod.get_pack(scene)
     cfg = config.base
     n_px = width * height
     B = n_px * spp
@@ -179,8 +180,19 @@ def _vcm_impl(scene: Scene, width: int, height: int, spp: int, seed, radius,
 
         g_hit = _Hit(t=jnp.zeros((B,)), prim=lv.prim,
                      bary=jnp.full((B, 2), 1.0 / 3.0), valid=lv.valid)
-        it_l = make_interaction(scene, lv.p, -lv.wo, g_hit)._replace(p=lv.p)
-        mp_l = gather_mat_params(scene, it_l._replace(uv=lv.uv), cfg.tex_types)
+        if pack is not None:
+            from ..ops.shade_gather import packed_gather
+
+            rows_l = packed_gather(pack, jnp.maximum(lv.prim, 0))
+            it_l = sp_mod.pack_interaction(
+                rows_l, lv.p, -lv.wo, g_hit)._replace(p=lv.p)
+            mp_l = sp_mod.pack_mat_params(scene, rows_l, lv.uv,
+                                          cfg.tex_types)
+        else:
+            it_l = make_interaction(scene, lv.p, -lv.wo,
+                                    g_hit)._replace(p=lv.p)
+            mp_l = gather_mat_params(scene, it_l._replace(uv=lv.uv),
+                                     cfg.tex_types)
         wo_loc = it_l.frame.to_local(lv.wo)
         wi_loc = it_l.frame.to_local(d_cam)
         f_cam, _ = bsdf_mod.eval_bsdf(mp_l, wo_loc, wi_loc, active=cfg.bsdf_types)
@@ -229,7 +241,6 @@ def _vcm_impl(scene: Scene, width: int, height: int, spp: int, seed, radius,
               B / jnp.maximum(cam_pdf_w0, 1e-9), jnp.zeros((B,)), jnp.zeros((B,)),
               jnp.ones((B,), bool), smp)
 
-    pack = sp_mod.get_pack(scene)
 
     def eye_step(c: _E, depth):
         hit = scene_mod.scene_intersect(scene, c.o, c.d,
@@ -308,8 +319,19 @@ def _vcm_impl(scene: Scene, width: int, height: int, spp: int, seed, radius,
                 t=jnp.zeros((B,)), prim=lv.prim,
                 bary=jnp.full((B, 2), 1.0 / 3.0), valid=lv.valid,
             )
-            it_l = make_interaction(scene, lv.p, -lv.wo, g_hit)._replace(p=lv.p)
-            mp_l = gather_mat_params(scene, it_l._replace(uv=lv.uv), cfg.tex_types)
+            if pack is not None:
+                from ..ops.shade_gather import packed_gather
+
+                rows_l = packed_gather(pack, jnp.maximum(lv.prim, 0))
+                it_l = sp_mod.pack_interaction(
+                    rows_l, lv.p, -lv.wo, g_hit)._replace(p=lv.p)
+                mp_l = sp_mod.pack_mat_params(scene, rows_l, lv.uv,
+                                              cfg.tex_types)
+            else:
+                it_l = make_interaction(scene, lv.p, -lv.wo,
+                                        g_hit)._replace(p=lv.p)
+                mp_l = gather_mat_params(scene, it_l._replace(uv=lv.uv),
+                                         cfg.tex_types)
             wo_l_loc = it_l.frame.to_local(lv.wo)
             wi_l_loc = it_l.frame.to_local(-dir_c)
             f_lv, pdf_l_fwd = bsdf_mod.eval_bsdf(mp_l, wo_l_loc, wi_l_loc,
