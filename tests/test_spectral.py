@@ -192,10 +192,15 @@ class TestSpectralRender:
         assert b[2] > b[1] > b[0] and a[2] > a[1] > a[0]
         np.testing.assert_allclose(b, a, rtol=0.12, atol=0.03)
 
+    @pytest.mark.subproc
     def test_gradient_spectral_sigma(self):
         """d(image)/d(sigma_s scale) through the spectral volumetric path
         matches central finite differences (detached decisions, attached
-        per-wavelength weights)."""
+        per-wavelength weights).
+
+        subproc-isolated: grad-of-spectral-vol-render segfaults the
+        accumulated in-suite XLA:CPU compiler state (the round-4 failure
+        class; passes standalone)."""
         from cudatracerlib_tpu.render.spectral import render_spectral_vol
         from cudatracerlib_tpu.scene import media as M
 
