@@ -33,6 +33,23 @@ jax.config.update("jax_platforms", "cpu")
 _CHILD_ENV = "CT_TEST_SUBPROC"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_xla_caches_between_modules():
+    """Reset JAX/XLA compilation caches after every test module.
+
+    The in-suite XLA:CPU compiler state accumulates across the suite's
+    ~100 large programs (7+ GB RSS by the end) and eventually SEGFAULTS
+    whichever big program compiles late — the round-4 'Fatal Python
+    error at 187/188' failure class, which roamed between tests as the
+    suite composition changed. Per-module clearing caps the accumulation;
+    the persistent compilation cache keeps recompiles cheap."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",

@@ -137,10 +137,14 @@ class TestSpectralRender:
                                        cfg))
         np.testing.assert_allclose(b.mean(), a.mean(), rtol=0.04)
 
+    @pytest.mark.subproc
     def test_spectral_vol_furnace_matches_rgb(self):
         """A GRAY homogeneous medium: the spectral volumetric tracer must
         reproduce the RGB volpath (sigma uplift + hero sampling calibration
-        — the spectral-media furnace gate, VERDICT r4 item 7)."""
+        — the spectral-media furnace gate, VERDICT r4 item 7).
+
+        subproc-isolated: spectral-vol programs segfault the accumulated
+        in-suite XLA:CPU compiler state (round-4 failure class)."""
         from cudatracerlib_tpu.render.spectral import render_spectral_vol
         from cudatracerlib_tpu.render.volpath import render_vol
         from cudatracerlib_tpu.scene import media as M
@@ -161,10 +165,14 @@ class TestSpectralRender:
         np.testing.assert_allclose(b.mean((0, 1)), a.mean((0, 1)),
                                    rtol=0.06)
 
+    @pytest.mark.subproc
     def test_spectral_vol_dispersive_sigma(self):
         """Wavelength-dependent sigma_t: a medium with colored extinction
         must match the RGB volpath per channel (the sigma spectra uplift
-        through the SAME 3-band basis the RGB path integrates)."""
+        through the SAME 3-band basis the RGB path integrates).
+
+        subproc-isolated: spectral-vol programs segfault the accumulated
+        in-suite XLA:CPU compiler state (round-4 failure class)."""
         from cudatracerlib_tpu.render.spectral import render_spectral_vol
         from cudatracerlib_tpu.render.volpath import render_vol
         from cudatracerlib_tpu.scene import media as M
