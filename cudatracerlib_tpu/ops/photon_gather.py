@@ -164,7 +164,7 @@ def _kernel(q_ref, aabb_ref, ph_hbm, out_ref, wscr, sem, queue, surv_scr,
 def photon_density_tpu(tiles, aabbs, q_pos, q_n, q_valid, radius):
     """Per-query [flux_r, flux_g, flux_b, sum_w] — see module docstring.
 
-    tiles: (n_tiles, PT, 16) f32 (build_photon_tiles); aabbs (n_tiles, 8);
+    tiles: (n_tiles, 16, PT) f32 (build_photon_tiles); aabbs (n_tiles, 8);
     q_pos/q_n (B, 3); q_valid (B,); radius scalar."""
     B = q_pos.shape[0]
     n_tiles = tiles.shape[0]

@@ -79,9 +79,9 @@ class TestSpectralRender:
         disp = scene._replace(
             materials=scene.materials._replace(cauchy_c=cc))
         cfg = PTConfig(max_depth=6, rr_start=99)
-        img_a = np.asarray(render_spectral(scene, 64, 64, 48, jnp.uint32(2),
+        img_a = np.asarray(render_spectral(scene, 64, 64, 32, jnp.uint32(2),
                                            cfg))
-        img_d = np.asarray(render_spectral(disp, 64, 64, 48, jnp.uint32(2),
+        img_d = np.asarray(render_spectral(disp, 64, 64, 32, jnp.uint32(2),
                                            cfg))
 
         def chroma(img):

@@ -155,13 +155,13 @@ class TestCausticMap:
         # a valid reference here — it is itself kernel-blurred at its own
         # progressive radius, which penalizes the sharper estimator.
         ref = np.zeros((H, W, 3), np.float32)
-        for s in range(3):
+        for s in range(2):
             ref += np.asarray(render(scene, W, H, 128, s,
-                                     PTConfig(max_depth=8, rr_start=4))) / 3
+                                     PTConfig(max_depth=8, rr_start=4))) / 2
 
         # accumulate passes the way PPM actually runs (radius schedule applied
         # per pass); equal photons for both estimators
-        P = 4
+        P = 3
         acc_split = np.zeros((H, W, 3), np.float32)
         acc_single = np.zeros((H, W, 3), np.float32)
         for i in range(P):

@@ -52,7 +52,7 @@ def _sss_scene(sphere_mat: dict):
                        cam)
 
 
-def _front_lum(scene, seed=0, spp=24, depth=8):
+def _front_lum(scene, seed=0, spp=16, depth=8):
     img = np.asarray(render(scene, 48, 48, spp, jnp.uint32(seed),
                             PTConfig(max_depth=depth, rr_start=99,
                                      sss_steps=24)))
@@ -81,7 +81,7 @@ class TestSSS:
         sss = _sss_scene(mlib.sss_record("Marble", scale=3.0))
         sc = sss._replace(materials=sss.materials._replace(
             sss_sigma_a=jnp.zeros_like(sss.materials.sss_sigma_a)))
-        img = np.asarray(render(sc, 48, 48, 24, jnp.uint32(1),
+        img = np.asarray(render(sc, 48, 48, 16, jnp.uint32(1),
                                 PTConfig(max_depth=8, rr_start=99,
                                          sss_steps=24)))
         assert np.isfinite(img).all()
