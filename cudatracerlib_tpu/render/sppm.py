@@ -41,6 +41,7 @@ from ..scene import media as media_mod
 from ..scene import phase as phase_mod
 from ..scene import sensors
 from ..scene import scene as scene_mod
+from ..scene import shade_pack as sp_mod
 from ..scene.scene import Scene, gather_mat_params, make_interaction
 from .path_tracer import PTConfig, _offset_ray, _select_light, specialize_config
 from .ppm import PPM_ALPHA, PhotonMap
@@ -132,10 +133,13 @@ def trace_photons_vol(scene: Scene, media: media_mod.Media, n_photons: int,
         smp: Sampler
 
     init = _C(o=o, d=d, w=w, alive=jnp.ones((B,), bool), smp=smp)
+    pack = sp_mod.get_pack(scene)
 
     def bounce(c: _C, depth):
-        hit = scene_mod.scene_intersect(scene, c.o, c.d)
-        it = make_interaction(scene, c.o, c.d, hit)
+        hit = scene_mod.scene_intersect(scene, c.o, c.d,
+                                        refine=pack is None)
+        it, mp = sp_mod.hit_shading(scene, c.o, c.d, hit, pack,
+                                    config.tex_types)
         t_surf = jnp.where(hit.valid, hit.t, 1e8)
 
         s = c.smp
@@ -145,8 +149,6 @@ def trace_photons_vol(scene: Scene, media: media_mod.Media, n_photons: int,
         w_here = c.w * jnp.where(c.alive[..., None], w_med, 1.0)
         medium_event = c.alive & scat
         found = hit.valid & c.alive & ~scat
-
-        mp = gather_mat_params(scene, it, config.tex_types)
 
         # surface deposit (direct photons excluded: eye pass does NEE)
         store_s = found & bsdf_mod.is_smooth(mp) & (depth > 0)
@@ -481,12 +483,14 @@ def _sppm_impl(scene: Scene, media: media_mod.Media, width: int, height: int,
     )
 
     has_media = config.vol_estimator != VOL_NONE
+    pack = sp_mod.get_pack(scene)
 
     def eye_bounce(c: _E, depth):
-        hit = scene_mod.scene_intersect(scene, c.o, c.d)
-        it = make_interaction(scene, c.o, c.d, hit)
+        hit = scene_mod.scene_intersect(scene, c.o, c.d,
+                                        refine=pack is None)
+        it, mp = sp_mod.hit_shading(scene, c.o, c.d, hit, pack,
+                                    cfg.tex_types)
         found = hit.valid & c.alive
-        mp = gather_mat_params(scene, it, cfg.tex_types)
 
         # medium transmittance along this eye segment (reference eye pass
         # attenuates the camera walk through the aggregate volume)
